@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Engine benchmark: run the full queries() suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "suite_wall_clock", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced through the `noop` sink so the whole physical plan
+executes (a bare .count() would let Catalyst prune the projections we
+are trying to measure) without paying driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from nemscraper_spark.session import get_spark
+    from nemscraper_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="nemscraper_spark_bench")
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name, spec in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_suite, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""Driver-facing query registry.
+
+Importing this package registers every query module. ``REGISTRY`` maps
+query name → QuerySpec(fn, oracle); ``__spark_entry__.py`` re-exports it
+through the driver contract (queries()/oracle_sql()).
+"""
+
+from nemscraper_spark.queries.common import REGISTRY, QuerySpec, load_table, register
+
+# import for side effect: each module registers its queries
+from nemscraper_spark.queries import relational  # noqa: E402,F401
+from nemscraper_spark.queries import joins  # noqa: E402,F401
+from nemscraper_spark.queries import aggregates  # noqa: E402,F401
+from nemscraper_spark.queries import timeseries  # noqa: E402,F401
+from nemscraper_spark.queries import fpp_pipeline  # noqa: E402,F401
+from nemscraper_spark.queries import training_data  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "load_table", "register"]

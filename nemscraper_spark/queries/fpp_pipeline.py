@@ -1,0 +1,233 @@
+"""The 5-step FPP analytics pipeline (SURVEY.md §3.2, crunch.rs parity)
+mapped onto the driver's ``events`` table per FIXTURES.md §D:
+
+    event_type ↔ REGIONID       (freq-measure partition key)
+    user_id    ↔ DUID/FPP_UNITID (unit key)
+    value      ↔ MW / Hz measurements
+    ts         ↔ MEASUREMENT_DATETIME
+
+Step shapes (reference citations):
+  1 frequency measure: filter quality → EWMA per region   crunch.rs:220-295
+  2 reference trajectory: spine ⨯ units ⟕ prev/next 5-min
+    forecast → linear interpolation                       crunch.rs:324-452
+  3 unit deviations: trajectory ⋈ SCADA on [ts, unit]     crunch.rs:455-511
+  4/5 performance: deviations ⟕ freq measure → p_lower/
+    p_raise = when(fm<0, fm, 0)*dev / when(fm>0,...)      crunch.rs:93-176
+
+Steps 2-5 use a deterministic forecast/freq proxy (5-min bucketed
+DECIMAL-exact averages) so every step is DuckDB-oracle-checkable; the
+EWMA variants (step 1 and the EWMA-driven performance) are the
+reference's recursive kernel and get rows-only verification plus a
+pure-python pin in tests/test_ewma.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.functions import epoch_ms, time_bucket
+from nemscraper_spark.operators.ewma import ewma
+from nemscraper_spark.queries.common import (
+    dec_avg,
+    load_table,
+    oracle_dec_avg,
+    register,
+)
+
+SPINE_START = "2024-01-01 00:00:00"
+SPINE_END = "2024-01-01 23:59:00"
+
+_FORECAST_SQL = f"""
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ts_5m, user_id,
+             {oracle_dec_avg("value")} AS target_value
+      FROM events GROUP BY 1, 2
+"""
+
+_TRAJECTORY_SQL = f"""
+    WITH fc AS ({_FORECAST_SQL}),
+    spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '{SPINE_START}',
+                                    TIMESTAMP '{SPINE_END}',
+                                    INTERVAL '1 minute')) AS ts
+    ),
+    grid AS (
+      SELECT s.ts, u.user_id, time_bucket(INTERVAL '5 minutes', s.ts) AS ts_5m
+      FROM spine s CROSS JOIN (SELECT DISTINCT user_id FROM events) u
+    ),
+    joined AS (
+      SELECT g.ts, g.user_id,
+             p.target_value AS prev_target, n.target_value AS next_target,
+             (epoch_ms(g.ts) - epoch_ms(g.ts_5m)) / 300000.0 AS frac
+      FROM grid g
+      LEFT JOIN fc p ON g.ts_5m = p.ts_5m AND g.user_id = p.user_id
+      LEFT JOIN fc n ON g.ts_5m + INTERVAL '5 minutes' = n.ts_5m AND g.user_id = n.user_id
+    )
+    SELECT ts, user_id,
+           COALESCE(prev_target, 0.0)
+             + (COALESCE(next_target, COALESCE(prev_target, 0.0)) - COALESCE(prev_target, 0.0)) * frac
+             AS reference_value
+    FROM joined
+"""
+
+
+def _forecast(spark, sf_dir):
+    """5-min forecast proxy: latest-forecast selection collapses to a
+    deterministic per-bucket average (the reference's A6 keep-first is
+    exercised separately in aggregates.dedup_keep_first)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("ts", 300).alias("ts_5m"), "user_id"
+    ).agg(dec_avg("value").alias("target_value"))
+
+
+def _spine(spark):
+    """1-min spine for day 1 — crunch.rs:349-370's date_range."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(SPINE_START).cast("timestamp"),
+                    F.lit(SPINE_END).cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts_raw")
+        )
+        .select(F.col("ts_raw").cast("timestamp_ntz").alias("ts"))
+    )
+
+
+def reference_trajectory(spark, sf_dir):
+    """Steps 2's dataflow: spine ⨯ units, prev/next forecast join,
+    linear interpolation (crunch.rs:324-452)."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = _forecast(spark, sf_dir).cache()  # crunch.rs:347 .cache() reuse
+    grid = _spine(spark).crossJoin(
+        F.broadcast(ev.select("user_id").distinct())
+    ).withColumn("ts_5m", time_bucket("ts", 300))
+    prev = F.broadcast(fc.select(
+        "ts_5m", F.col("user_id").alias("uid"), F.col("target_value").alias("prev_target")
+    ))
+    nxt = F.broadcast(fc.select(
+        (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
+        F.col("user_id").alias("uid"),
+        F.col("target_value").alias("next_target"),
+    ))
+    joined = (
+        grid.join(prev, (grid.ts_5m == prev.ts_5m) & (grid.user_id == prev.uid), "left")
+        .drop(prev.ts_5m).drop("uid")
+        .join(nxt, (grid.ts_5m == nxt.ts_5m) & (grid.user_id == nxt.uid), "left")
+    )
+    prev_t = F.coalesce(F.col("prev_target"), F.lit(0.0))
+    next_t = F.coalesce(F.col("next_target"), prev_t)
+    frac = (epoch_ms(F.col("ts")) - epoch_ms(grid.ts_5m)) / F.lit(300000.0)
+    return joined.select(
+        "ts", "user_id", (prev_t + (next_t - prev_t) * frac).alias("reference_value")
+    )
+
+
+@register("fpp_reference_trajectory", oracle=_TRAJECTORY_SQL, tags=("fpp", "W5", "W8", "J3", "J4"))
+def fpp_reference_trajectory(spark, sf_dir):
+    return reference_trajectory(spark, sf_dir)
+
+
+_MEASURED_SQL = f"""
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS ts, user_id,
+             {oracle_dec_avg("value")} AS measured_value
+      FROM events GROUP BY 1, 2
+"""
+
+_DEVIATIONS_SQL = f"""
+    WITH traj AS ({_TRAJECTORY_SQL}),
+    scada AS ({_MEASURED_SQL})
+    SELECT t.ts, t.user_id,
+           s.measured_value - t.reference_value AS deviation_value
+    FROM traj t INNER JOIN scada s ON t.ts = s.ts AND t.user_id = s.user_id
+"""
+
+
+def _measured(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("ts", 60).alias("ts"), "user_id"
+    ).agg(dec_avg("value").alias("measured_value"))
+
+
+def unit_deviations(spark, sf_dir):
+    """Step 3: trajectory ⋈ measured on [ts, unit] → deviation =
+    measured - reference (crunch.rs:491-498)."""
+    traj = reference_trajectory(spark, sf_dir)
+    scada = _measured(spark, sf_dir)
+    return traj.join(scada, ["ts", "user_id"], "inner").select(
+        "ts",
+        "user_id",
+        (F.col("measured_value") - F.col("reference_value")).alias("deviation_value"),
+    )
+
+
+@register("fpp_unit_deviations", oracle=_DEVIATIONS_SQL, tags=("fpp", "J2"))
+def fpp_unit_deviations(spark, sf_dir):
+    return unit_deviations(spark, sf_dir)
+
+
+_FREQ_MEASURE_SQL = f"""
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS ts,
+             {oracle_dec_avg("value")} - 100.0 AS fm
+      FROM events GROUP BY 1
+"""
+
+_PERFORMANCE_SQL = f"""
+    WITH dev AS ({_DEVIATIONS_SQL}),
+    fm AS ({_FREQ_MEASURE_SQL})
+    SELECT d.ts, d.user_id, d.deviation_value, f.fm,
+           CASE WHEN f.fm < 0 THEN f.fm ELSE 0.0 END * d.deviation_value AS p_lower,
+           CASE WHEN f.fm > 0 THEN f.fm ELSE 0.0 END * d.deviation_value AS p_raise
+    FROM dev d LEFT JOIN fm f ON d.ts = f.ts
+"""
+
+
+def performance(spark, sf_dir):
+    """Steps 4/5: deviations ⟕ freq measure on ts → p_lower/p_raise
+    (crunch.rs:93-176, when/otherwise × deviation)."""
+    dev = unit_deviations(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    fm = ev.groupBy(time_bucket("ts", 60).alias("ts")).agg(
+        (dec_avg("value") - 100.0).alias("fm")
+    )
+    joined = dev.join(F.broadcast(fm), "ts", "left")
+    return joined.select(
+        "ts",
+        "user_id",
+        "deviation_value",
+        "fm",
+        (F.when(F.col("fm") < 0, F.col("fm")).otherwise(0.0) * F.col("deviation_value")).alias("p_lower"),
+        (F.when(F.col("fm") > 0, F.col("fm")).otherwise(0.0) * F.col("deviation_value")).alias("p_raise"),
+    )
+
+
+@register("fpp_performance", oracle=_PERFORMANCE_SQL, tags=("fpp", "P7", "J1", "flagship"))
+def fpp_performance(spark, sf_dir):
+    return performance(spark, sf_dir)
+
+
+@register("fpp_frequency_measure_ewma", oracle=None, tags=("fpp", "W2"))
+def fpp_frequency_measure_ewma(spark, sf_dir):
+    """Step 1: quality filter → per-region recursive EWMA over the
+    negated deviation (crunch.rs:220-295; alpha=2/9, seed 0, reset per
+    region). event_type ↔ region; (value-100) ↔ freq deviation."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        F.col("event_type").alias("region"),
+        "ts",
+        (F.col("value") - 100.0).alias("freq_dev"),
+    )
+    return ewma(
+        base,
+        key_cols=["region"],
+        order_cols=["ts", "event_id"],
+        value_col="freq_dev",
+        alpha=2.0 / 9.0,
+        negate=True,
+        out_col="freq_measure",
+    )

@@ -1,0 +1,261 @@
+"""Join operators (SURVEY.md §2.3, J1-J7 + M1 anti-join dedup).
+
+Scale notes: dimension tables (region/nation/customer and derived 5-min
+aggregates) are explicitly ``F.broadcast`` so the fact side never
+shuffles for them; at 100TB the only shuffling joins left are
+fact-to-fact composites, which hash-partition on their keys. The range
+join J5 keeps its build side small (the reference caps it with LIMIT
+5000, files.json:1081) so BNLJ is the right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries.common import (
+    dec_avg,
+    dec_sum,
+    load_table,
+    oracle_dec_avg,
+    oracle_dec_sum,
+    register,
+)
+
+_BUCKET_5M_SQL = "time_bucket(INTERVAL '5 minutes', ts)"
+
+
+def _bucket_5m(col="ts"):
+    from nemscraper_spark.functions import time_bucket
+
+    return time_bucket(col, 300)
+
+
+@register(
+    "join_left_single",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("J1",),
+)
+def join_left_single(spark, sf_dir):
+    """J1 left equi-join single key — crunch.rs:131-137 deviations ⟕
+    freq-measure on ts. Customer side broadcast (dimension)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_inner_composite",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, g.grp_qty
+    FROM lineitem l
+    INNER JOIN (
+      SELECT l_orderkey, l_partkey, {oracle_dec_sum("l_quantity")} AS grp_qty
+      FROM lineitem GROUP BY l_orderkey, l_partkey
+    ) g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
+    """,
+    tags=("J2",),
+)
+def join_inner_composite(spark, sf_dir):
+    """J2 inner equi-join on composite key — crunch.rs:491-497
+    trajectory ⋈ SCADA on [ts, DUID]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey", "l_partkey").agg(dec_sum("l_quantity").alias("grp_qty"))
+    return li.join(g, ["l_orderkey", "l_partkey"], "inner").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "grp_qty"
+    )
+
+
+@register(
+    "join_expr_prev_next",
+    oracle=f"""
+    WITH fc AS (
+      SELECT {_BUCKET_5M_SQL} AS ts_5m, event_type,
+             {oracle_dec_avg("value")} AS target
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.event_type,
+           p.target AS prev_target, n.target AS next_target
+    FROM events e
+    LEFT JOIN fc p ON {_BUCKET_5M_SQL.replace("ts", "e.ts")} = p.ts_5m
+                  AND e.event_type = p.event_type
+    LEFT JOIN fc n ON {_BUCKET_5M_SQL.replace("ts", "e.ts")} + INTERVAL '5 minutes' = n.ts_5m
+                  AND e.event_type = n.event_type
+    """,
+    tags=("J3", "J7"),
+)
+def join_expr_prev_next(spark, sf_dir):
+    """J3/J7 left joins on expression keys building prev/next
+    interpolation endpoints — crunch.rs:385-421 (forecast at trunc(ts,5m)
+    and trunc(ts,5m)+5m joined to each 4s tick, suffixed)."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.groupBy(_bucket_5m("ts").alias("ts_5m"), "event_type")
+        .agg(dec_avg("value").alias("target"))
+    )
+    base = ev.withColumn("ts_5m", _bucket_5m("ts"))
+    prev = F.broadcast(fc.select(
+        F.col("ts_5m"), F.col("event_type").alias("et"), F.col("target").alias("prev_target")
+    ))
+    nxt = F.broadcast(fc.select(
+        (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
+        F.col("event_type").alias("et"),
+        F.col("target").alias("next_target"),
+    ))
+    return (
+        base.join(prev, (base.ts_5m == prev.ts_5m) & (base.event_type == prev.et), "left")
+        .drop(prev.ts_5m).drop("et")
+        .join(nxt, (base.ts_5m == nxt.ts_5m) & (base.event_type == nxt.et), "left")
+        .select("event_id", "ts", "event_type", "prev_target", "next_target")
+    )
+
+
+@register(
+    "join_cross_spine",
+    oracle="""
+    SELECT s.ts, t.event_type
+    FROM (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-01 05:59:00',
+                                    INTERVAL '1 minute')) AS ts
+    ) s
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    """,
+    tags=("J4", "W5"),
+)
+def join_cross_spine(spark, sf_dir):
+    """J4/W5 time-spine ⨯ distinct entities — crunch.rs:349-377 (4s
+    daily spine ⨯ distinct DUIDs). Spine built with sequence+explode;
+    the small distinct side is broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-01 05:59:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts_raw")
+        )
+        .select(F.col("ts_raw").cast("timestamp_ntz").alias("ts"))
+    )
+    types = ev.select("event_type").distinct()
+    return spine.crossJoin(F.broadcast(types))
+
+
+@register(
+    "join_range_intervals",
+    oracle="""
+    WITH d AS (
+      SELECT event_id AS dl_id, ts AS dl_start, ts + INTERVAL '30 minutes' AS dl_end
+      FROM events WHERE event_id % 100 = 0
+    ),
+    t AS (SELECT DISTINCT time_bucket(INTERVAL '5 minutes', ts) AS ts
+          FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00')
+    SELECT t.ts, count(d.dl_id) AS active_downloads
+    FROM t LEFT JOIN d ON t.ts >= d.dl_start AND t.ts < d.dl_end
+    GROUP BY t.ts
+    """,
+    tags=("J5",),
+)
+def join_range_intervals(spark, sf_dir):
+    """J5 non-equi range join — files.json:1081 timeline ⟕ downloads ON
+    ts >= start AND ts < end (state-timeline pivot)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("dl_id"),
+        F.col("ts").alias("dl_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("dl_end"),
+    )
+    t = (
+        ev.filter(F.col("ts") < "2024-01-02 00:00:00")
+        .select(_bucket_5m("ts").alias("ts"))
+        .distinct()
+    )
+    joined = t.join(
+        F.broadcast(d), (t.ts >= d.dl_start) & (t.ts < d.dl_end), "left"
+    )
+    return joined.groupBy("ts").agg(F.count("dl_id").alias("active_downloads"))
+
+
+@register(
+    "join_dim_cascade",
+    oracle=f"""
+    SELECT r_name, n_name, {oracle_dec_sum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("J6",),
+)
+def join_dim_cascade(spark, sf_dir):
+    """J6 multi-way join cascade — calcs.md:167-233 residuals ⟕ CF ⟕
+    rates cascade. Fact stays partitioned; every dimension broadcasts, so
+    the only shuffle is the final groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    df = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return df.groupBy("r_name", "n_name").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "anti_join_history",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events s WHERE s.event_id % 10 = 0 AND s.event_id = e.event_id
+    )
+    """,
+    tags=("M1",),
+)
+def anti_join_history(spark, sf_dir):
+    """M1 dedup-against-history as left-anti join — compactor.rs:618-630
+    / main.rs:177-179 skip files whose key is already in the history
+    ledger. 'seen' side broadcast (ledger keys are small)."""
+    ev = load_table(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_id") % 10 == 0).select("event_id")
+    return ev.join(F.broadcast(seen), "event_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+    tags=("J-semi",),
+)
+def semi_join_exists(spark, sf_dir):
+    """Left-semi join (EXISTS) — complements M1's anti-join; the
+    reference's history.get() membership test (table_history.rs:58-92)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")

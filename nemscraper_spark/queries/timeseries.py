@@ -1,0 +1,252 @@
+"""Window functions & time-series operators (SURVEY.md §2.5).
+
+The recursive EWMA (W2) is the reference's single computation that
+exceeds declarative SQL (crunch.rs:243-270, calcs.md:48-66); it runs as
+an Arrow-batched grouped-map (applyInPandas) in
+operators/ewma.py. Everything else is pure column algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nemscraper_spark.functions import epoch_ms, time_bucket
+from nemscraper_spark.operators.ewma import ewma
+from nemscraper_spark.queries.common import (
+    dec_avg,
+    dec_sum,
+    load_table,
+    oracle_dec_avg,
+    oracle_dec_sum,
+    register,
+)
+
+
+@register(
+    "time_bucket_sums",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS bucket_end,
+           {oracle_dec_sum("value")} AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("W3", "A8"),
+)
+def time_bucket_sums(spark, sf_dir):
+    """W3 tumbling bucket, end-labelled — fpp.json:1010
+    time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("ts", 300, end_label=True).alias("bucket_end")
+    ).agg(dec_sum("value").alias("sum_value"), F.count("*").alias("n"))
+
+
+@register(
+    "interval_arithmetic",
+    oracle="""
+    SELECT event_id, ts,
+           ts - INTERVAL '5 minutes' AS ts_minus_5m,
+           time_bucket(INTERVAL '5 minutes', ts) AS ts_5m
+    FROM events
+    """,
+    tags=("W4", "W6"),
+)
+def interval_arithmetic(spark, sf_dir):
+    """W4/W6 truncation + interval arithmetic — crunch.rs:392-396
+    trunc(ts,'5m'), ts_5m - 5m."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("ts_minus_5m"),
+        time_bucket("ts", 300).alias("ts_5m"),
+    )
+
+
+@register(
+    "epoch_extract",
+    oracle="SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+    tags=("W7",),
+)
+def epoch_extract(spark, sf_dir):
+    """W7 epoch milliseconds — crunch.rs:423-428
+    .dt().timestamp(Milliseconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", epoch_ms("ts").alias("ts_ms"))
+
+
+@register(
+    "linear_interpolation",
+    oracle=f"""
+    WITH fc AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ts_5m, event_type,
+             {oracle_dec_avg("value")} AS target
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT e.event_id, e.ts, e.event_type,
+             time_bucket(INTERVAL '5 minutes', e.ts) AS ts_5m,
+             p.target AS prev_target, n.target AS next_target
+      FROM events e
+      LEFT JOIN fc p ON time_bucket(INTERVAL '5 minutes', e.ts) = p.ts_5m
+                    AND e.event_type = p.event_type
+      LEFT JOIN fc n ON time_bucket(INTERVAL '5 minutes', e.ts) + INTERVAL '5 minutes' = n.ts_5m
+                    AND e.event_type = n.event_type
+    )
+    SELECT event_id, ts, event_type,
+           COALESCE(prev_target, 0.0)
+             + (COALESCE(next_target, COALESCE(prev_target, 0.0)) - COALESCE(prev_target, 0.0))
+               * ((epoch_ms(ts) - epoch_ms(ts_5m)) / 300000.0) AS reference_value
+    FROM base
+    """,
+    tags=("W8",),
+)
+def linear_interpolation(spark, sf_dir):
+    """W8 linear interpolation between 5-min endpoints —
+    crunch.rs:423-440: ref = prev + (next - prev) * frac,
+    frac = (ts - trunc(ts,5m)) / 300000, nulls→0."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = ev.groupBy(
+        time_bucket("ts", 300).alias("ts_5m"), "event_type"
+    ).agg(dec_avg("value").alias("target"))
+    base = ev.withColumn("ts_5m", time_bucket("ts", 300))
+    prev = F.broadcast(
+        fc.select("ts_5m", F.col("event_type").alias("et"), F.col("target").alias("prev_target"))
+    )
+    nxt = F.broadcast(
+        fc.select(
+            (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
+            F.col("event_type").alias("et"),
+            F.col("target").alias("next_target"),
+        )
+    )
+    joined = (
+        base.join(prev, (base.ts_5m == prev.ts_5m) & (base.event_type == prev.et), "left")
+        .drop(prev.ts_5m)
+        .drop("et")
+        .join(nxt, (base.ts_5m == nxt.ts_5m) & (base.event_type == nxt.et), "left")
+    )
+    prev_t = F.coalesce(F.col("prev_target"), F.lit(0.0))
+    next_t = F.coalesce(F.col("next_target"), prev_t)
+    frac = (epoch_ms(F.col("ts")) - epoch_ms(base.ts_5m)) / F.lit(300000.0)
+    return joined.select(
+        "event_id",
+        "ts",
+        "event_type",
+        (prev_t + (next_t - prev_t) * frac).alias("reference_value"),
+    )
+
+
+@register(
+    "running_window_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(25,4)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    tags=("W-running",),
+)
+def running_window_sum(spark, sf_dir):
+    """Running total per entity (files.json:372's cumulative-rate shape)
+    via a frame-bounded window — exact DECIMAL accumulation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "lead_lag_neighbors",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+    tags=("W-leadlag",),
+)
+def lead_lag_neighbors(spark, sf_dir):
+    """lead/lag — the alternative construction of J7's prev/next
+    endpoints (SURVEY.md §2.5 note)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM g
+    """,
+    tags=("W-session",),
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30min starts a new session, cumsum
+    numbers them (common OLAP pattern; a batch analogue of
+    session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run).cast("long"))
+        .select("event_id", "user_id", "ts", "session_id")
+    )
+
+
+@register(
+    "ewma_per_entity",
+    oracle=None,  # recursive — not SQL-expressible; pinned by pytest vs a pure-python model
+    tags=("W2",),
+)
+def ewma_per_entity(spark, sf_dir):
+    """W2 recursive EWMA per partition key — crunch.rs:229, 243-270:
+    fm[i] = (1-a)*fm[i-1] + a*(-dev[i]), a=2/9, seed 0, reset per key.
+    Grouped-map Pandas UDF (operators/ewma.py); see its docstring for
+    the at-scale partitioning argument."""
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(
+        ev.select("event_id", "user_id", "ts", "value"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=2.0 / 9.0,
+        negate=True,
+        out_col="ewma_value",
+    )

@@ -1,0 +1,593 @@
+"""Large-scale training-data pipeline operators over documents/embeddings.
+
+Beyond reference parity (BASELINE.json stretch goals): deduplication
+(exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+(brute-force cosine top-k + LSH-bucketed ANN), and text analysis
+(language-ID, quality scoring, token counting, fingerprinting).
+
+Scale design notes:
+  * Shingle/pair joins are shuffle-on-shingle equi-joins — the classic
+    MinHash/LSH trick keeps candidate generation linear in corpus size
+    (bands → bucket-join) instead of the quadratic all-pairs join, which
+    is why both variants exist: ngram_jaccard_pairs is the exact oracle-
+    checkable baseline, minhash_lsh is the 100TB path.
+  * Cross-engine determinism: every hash used for fingerprints/planes is
+    md5 (identical in Spark and DuckDB); cosine sums run element-in-order
+    over DOUBLE so both engines produce bit-identical floats.
+  * ANN hyperplanes are derived from md5(plane,dim) signs — data-
+    independent, no fitting step, reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries.common import load_table, register
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "los", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+
+# ---------------------------------------------------------------- dedup --
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint,
+           CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count
+    FROM documents
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash + per-group count (hash-groupBy).
+    Keep-one selection composes with aggregates.dedup_keep_first."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.count("*").over(w).alias("dup_count"),
+    )
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.2
+    """,
+    tags=("dedup",),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.2.
+
+    Shuffle-on-shingle equi-join (inverted index), NOT an all-pairs
+    cross join — candidate pairs only materialize where shingles
+    actually collide."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+    )
+
+
+@register("minhash_lsh_pairs", oracle=None, tags=("dedup",))
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup candidates, verified by exact Jaccard.
+
+    The 100TB-scale dedup path: shingle → K=16 minhashes (xxhash64 with
+    per-permutation seeds) → 4 bands of 4 → bucket-join on
+    (band, band_hash) → exact verify only the collisions. Linear in
+    corpus size; candidate count is controlled by band geometry
+    (P[collide] = 1-(1-j^4)^4). Deterministic (fixed seeds) but
+    xxhash64 isn't portable to the oracle → rows-only check; exactness
+    of the verify step is pinned against ngram_jaccard_pairs in
+    tests/test_training_ops.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_perm, band_size = 16, 4
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    # K minhash values per doc in one aggregation (no K-fold self-join)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_perm)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_perm // band_size)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    la = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    lb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-verify candidates via the inverted index
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), "doc_a")
+        .join(F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+_HEXVAL = "(ascii({c}) - CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END)"
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, (p - 1) * 4 + j AS bit,
+             CAST(SUM(CASE WHEN (({_HEXVAL.format(c="substr(md5(w), p, 1)")}) // POWER(2, j)::INT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS BIGINT) AS s
+      FROM words,
+           UNNEST(generate_series(1, 8)) AS tp(p),
+           UNNEST(generate_series(0, 3)) AS tj(j)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN POWER(2, bit)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def simhash_fingerprint(spark, sf_dir):
+    """32-bit SimHash per document from md5 word hashes (portable across
+    engines: md5 hex digits → 4 bits each, ±1 majority vote per bit).
+    Near-dup = small hamming distance; band-join on simhash prefixes
+    gives the scalable pairing (same LSH idea as minhash_lsh_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    hexval = (
+        "(ascii(substr(md5(w), p, 1)) -"
+        " CASE WHEN ascii(substr(md5(w), p, 1)) >= 97 THEN 87 ELSE 48 END)"
+    )
+    bits = (
+        words.select(
+            "doc_id",
+            "w",
+            F.explode(F.expr("sequence(1, 8)")).alias("p"),
+        )
+        .select("doc_id", "w", "p", F.explode(F.expr("sequence(0, 3)")).alias("j"))
+        .groupBy(
+            "doc_id", ((F.col("p") - 1) * 4 + F.col("j")).alias("bit")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(f"CAST({hexval} / CAST(pow(2, j) AS INT) AS INT) % 2 = 1"),
+                    1,
+                ).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ----------------------------------------------------------- similarity --
+
+
+_COS_SQL = """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.e, c.e)
+                 / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 9) AS cosine
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10) q
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) c
+      ON q.vec_id <> c.vec_id
+"""
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM ({_COS_SQL})
+    ) WHERE rk <= 5
+    """,
+    tags=("similarity",),
+)
+def cosine_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors — the exactness
+    baseline for ANN. Query side broadcast; dot products run as
+    F.aggregate over zip_with (JVM-side, in element order so floats
+    match the oracle bit-for-bit; rounded to 9dp before ranking)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("cn"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register("ann_lsh_cosine", oracle=None, tags=("similarity",))
+def ann_lsh_cosine(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours — the scale path.
+
+    8 random hyperplanes with md5-derived ±1 components (data-
+    independent, reproducible); every vector gets a 8-bit bucket
+    signature; queries only compare against their own bucket, then
+    exact-cosine re-rank top-5. At 100TB the bucket join replaces the
+    quadratic cross join with an equi-join on (bucket), and multi-probe
+    (flipping low-confidence bits) recovers recall — here single-probe.
+    Verified for recall against cosine_topk_bruteforce in tests.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    # hyperplane sign for (plane p, dim d): parity of first md5 hex digit
+    planes = (
+        spark.range(8)
+        .withColumnRenamed("id", "p")
+        .crossJoin(spark.range(64).withColumnRenamed("id", "d"))
+        .select(
+            "p",
+            "d",
+            F.expr(
+                "CASE WHEN (ascii(substr(md5(concat(p, '_', d)), 1, 1)) % 2) = 0"
+                " THEN 1.0 ELSE -1.0 END"
+            ).alias("sign"),
+        )
+    )
+    comp = (
+        e.select("vec_id", F.posexplode("e").alias("d", "x"))
+        .join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
+    )
+    sig = comp.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("CAST(pow(2, p) AS BIGINT)")).otherwise(0)
+        ).alias("bucket")
+    )
+    ev = e.join(sig, "vec_id")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    q = ev.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+    )
+    c = ev.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "bucket")
+    pairs = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        dot(F.col("qe"), F.col("ce"))
+        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# ------------------------------------------------------------- text ops --
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS BIGINT) AS n_stopwords,
+           CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_span,
+           CASE WHEN length(text) >= 100
+                 AND CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
+                     / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS quality_flag
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length / token / stopword-ratio heuristics
+    (C4/Gopher-style rules expressed as pure column algebra)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    n_stop = F.expr(
+        r"size(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b', 0))"
+    ).cast("long")
+    ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_span"),
+        F.when((n_chars >= 100) & ratio.between(0.01, 0.6), 1.0)
+        .otherwise(0.0)
+        .alias("quality_flag"),
+    )
+
+
+def _lang_hits_sql(words):
+    alt = "|".join(words)
+    return f"len(regexp_extract_all(text, '\\\\b({alt})\\\\b'))"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql(STOPWORDS["en"])} AS s_en,
+             {_lang_hits_sql(STOPWORDS["es"])} AS s_es,
+             {_lang_hits_sql(STOPWORDS["fr"])} AS s_fr,
+             {_lang_hits_sql(STOPWORDS["de"])} AS s_de
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM scores
+    """,
+    tags=("text",),
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID by stopword-hit argmax (n-gram heuristic). A real
+    deployment swaps the word lists for char-n-gram profiles; the
+    dataflow (per-doc regex counts → argmax) is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = {}
+    for lang in ("en", "es", "fr", "de"):
+        alt = "|".join(STOPWORDS[lang])
+        scores[lang] = F.expr(
+            rf"size(regexp_extract_all(text, '\\b({alt})\\b', 0))"
+        )
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return d.select("doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+
+
+@register(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def token_count_regex(spark, sf_dir):
+    """Token counting: whitespace split + a BPE-ish regex segmentation
+    (letters / digits / other), both as JVM-side regex ops."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.expr(
+            "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))"
+        ).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_winnow_fingerprint",
+    oracle="""
+    SELECT doc_id, MIN(md5(substr(text, i, 16))) AS winnow_fp
+    FROM documents, UNNEST(generate_series(1, length(text) - 15)) AS t(i)
+    WHERE length(text) >= 16
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def doc_winnow_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: min hash over all char-16-gram
+    shingles (rolling-hash document fingerprinting; robust to small
+    edits unlike dedup_exact's whole-text md5)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 15), i -> md5(substr(text, i, 16)))"
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("winnow_fp"))
+    )
+
+
+@register("multimodal_decode_stub", oracle=None, tags=("multimodal",))
+def multimodal_decode_stub(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads + typed metadata,
+    decoded/feature-extracted via mapInPandas in Arrow batches.
+
+    The decode itself is a STUB (image/audio libs absent in this
+    container): features are a deterministic function of the bytes so
+    the pipeline is testable end-to-end. The Spark-side contract —
+    binary column, batch iterator, fixed-width output schema, partition-
+    parallel execution — is exactly what a real decoder plugs into.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            blobs = pdf["payload"]
+            # STUB decode: real impl would call PIL/librosa/av here.
+            feats = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.str.len().astype("int64"),
+                    "first_byte": blobs.map(lambda b: int(b[0]) if len(b) else -1).astype(
+                        "int64"
+                    ),
+                    "byte_mean": blobs.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                }
+            )
+            yield feats
+
+    return payloads.mapInPandas(
+        extract, schema="doc_id long, n_bytes long, first_byte long, byte_mean double"
+    )
