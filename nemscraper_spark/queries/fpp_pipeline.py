@@ -81,19 +81,20 @@ def _forecast(spark, sf_dir):
 
 
 def _spine(spark):
-    """1-min spine for day 1 — crunch.rs:349-370's date_range."""
-    return (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.sequence(
-                    F.lit(SPINE_START).cast("timestamp"),
-                    F.lit(SPINE_END).cast("timestamp"),
-                    F.expr("INTERVAL 1 MINUTE"),
-                )
-            ).alias("ts_raw")
-        )
-        .select(F.col("ts_raw").cast("timestamp_ntz").alias("ts"))
+    """1-min spine for day 1 — crunch.rs:349-370's date_range.
+
+    Built from spark.range (splittable!) rather than a single
+    explode(sequence(...)): an exploded literal is one partition, which
+    would funnel the whole spine ⨯ units grid — and every downstream
+    join — through one task. range() partitions the spine across the
+    cluster, so the grid inherits real parallelism.
+    """
+    n_ticks = 24 * 60  # minutes in the spine day
+    start = F.lit(SPINE_START).cast("timestamp")
+    return spark.range(n_ticks).select(
+        (start + F.make_interval(mins=F.col("id").cast("int")))
+        .cast("timestamp_ntz")
+        .alias("ts")
     )
 
 
@@ -105,14 +106,15 @@ def reference_trajectory(spark, sf_dir):
     grid = _spine(spark).crossJoin(
         F.broadcast(ev.select("user_id").distinct())
     ).withColumn("ts_5m", time_bucket("ts", 300))
-    prev = F.broadcast(fc.select(
+    # fc scales with buckets × units — AQE picks broadcast when small
+    prev = fc.select(
         "ts_5m", F.col("user_id").alias("uid"), F.col("target_value").alias("prev_target")
-    ))
-    nxt = F.broadcast(fc.select(
+    )
+    nxt = fc.select(
         (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
         F.col("user_id").alias("uid"),
         F.col("target_value").alias("next_target"),
-    ))
+    )
     joined = (
         grid.join(prev, (grid.ts_5m == prev.ts_5m) & (grid.user_id == prev.uid), "left")
         .drop(prev.ts_5m).drop("uid")

@@ -1,0 +1,136 @@
+"""Driver-visible queries for the ingest/maintenance surface (§2.1,
+§2.8) and the interactive-SQL surface (§3.3).
+
+The NEM splitter/compactor/history operators don't consume the driver's
+tables — they run on a deterministic in-test NEM fixture synthesized
+into a temp dir (FIXTURES.md §A sanctions exactly this) and return
+their invariant checks as DataFrames, so the driver's rows-check pins
+them every round.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries.common import load_table, register
+
+_NEM_CSV = "\r\n".join(
+    [
+        "C,NEMP.WORLD,DISPATCHIS,AEMO,PUBLIC,2022/07/20,18:00:00,0000000367313233,,",
+        "I,FPP,UNIT_MW,1,MEASUREMENT_DATETIME,FPP_UNITID,PARTICIPANTID,MEASURED_MW,SCHEDULED_MW,MW_QUALITY_FLAG",
+        'D,FPP,UNIT_MW,1,"2025/06/01 00:00:04",ARWF1,ARWF,101.5,100.0,1',
+        'D,FPP,UNIT_MW,1,"2025/06/01 00:00:08",ARWF1,ARWF,102.5,100.0,1',
+        'D,FPP,UNIT_MW,1,"2025/06/01 00:00:12",BDRW1,BDRW,55.25,,1',
+        "I,FPP,REGION_FREQ_MEASURE,1,MEASUREMENT_DATETIME,REGIONID,FREQ_DEVIATION_HZ,HZ_QUALITY_FLAG",
+        'D,FPP,REGION_FREQ_MEASURE,1,"2025/06/01 00:00:04",NSW1,-0.01,1',
+        'D,FPP,REGION_FREQ_MEASURE,1,"2025/06/01 00:00:08",NSW1,0.02,1',
+        'C,"END OF REPORT",8',
+    ]
+)
+_D_ROWS = {"FPP---UNIT_MW---1": 3, "FPP---REGION_FREQ_MEASURE---1": 2}
+
+
+@register("nem_ingest_conservation", oracle=None, tags=("S5", "S6", "S7", "M7"))
+def nem_ingest_conservation(spark, sf_dir):
+    """S4-S7 + M7: split a NEM ZIP → typed partitioned parquet, then
+    emit the conservation check (D-rows == parquet rows per table —
+    verify.rs:56-133). One row per table with conserved flag."""
+    tmp = tempfile.mkdtemp(prefix="nem_ingest_")
+    landing = os.path.join(tmp, "landing")
+    out = os.path.join(tmp, "out")
+    os.makedirs(landing)
+    with zipfile.ZipFile(
+        os.path.join(landing, "PUBLIC_DISPATCHIS_20220720_0001.zip"), "w"
+    ) as zf:
+        zf.writestr("PUBLIC_DISPATCHIS_202207201800.CSV", _NEM_CSV)
+
+    from nemscraper_spark.sources.nemcsv import ingest
+
+    counts = ingest(spark, landing, out)
+    rows = [
+        (k, counts.get(k, 0), d, counts.get(k, 0) == d) for k, d in _D_ROWS.items()
+    ]
+    return spark.createDataFrame(
+        rows, "table_key string, parquet_rows long, d_rows long, conserved boolean"
+    )
+
+
+@register("nem_compaction_roundtrip", oracle=None, tags=("M3", "M4", "S11"))
+def nem_compaction_roundtrip(spark, sf_dir):
+    """M4: ingest twice (small files pile up) → compact each partition
+    to one file under the evolved schema → row counts preserved."""
+    import glob as _glob
+
+    tmp = tempfile.mkdtemp(prefix="nem_compact_")
+    landing = os.path.join(tmp, "landing")
+    out = os.path.join(tmp, "out")
+    os.makedirs(landing)
+    with zipfile.ZipFile(
+        os.path.join(landing, "PUBLIC_DISPATCHIS_20220720_0001.zip"), "w"
+    ) as zf:
+        zf.writestr("PUBLIC_DISPATCHIS_202207201800.CSV", _NEM_CSV)
+
+    from nemscraper_spark.plans.compact import compact_table
+    from nemscraper_spark.sources.nemcsv import ingest
+
+    ingest(spark, landing, out)
+    ingest(spark, landing, out)  # second append → >1 file per partition
+    results = []
+    for key, d in _D_ROWS.items():
+        root = os.path.join(out, key)
+        compact_table(spark, root)
+        files = _glob.glob(os.path.join(root, "date=*", "*.parquet"))
+        results.append((key, spark.read.parquet(root).count(), 2 * d, len(files)))
+    return spark.createDataFrame(
+        results, "table_key string, rows long, expected_rows long, files_after int"
+    )
+
+
+@register(
+    "sql_dashboard_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("S12", "D-SQL"),
+)
+def sql_dashboard_totals(spark, sf_dir):
+    """§3.3 interactive-SQL surface: the same query text a dashboard
+    would issue, executed via spark.sql over registered views — the
+    engine's equivalent of the Grafana→DuckDB path (fpp.json:129-1068)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_price
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register("catalog_external_table", oracle=None, tags=("S16",))
+def catalog_external_table(spark, sf_dir):
+    """S16 external-table registration (load_bigquery.rs:62-79's
+    CREATE EXTERNAL TABLE ... OPTIONS(format='PARQUET')): register the
+    parquet location in the session catalog and query it by name."""
+    spark.sql("DROP TABLE IF EXISTS nemext_lineitem")
+    spark.sql(
+        f"""
+        CREATE TABLE nemext_lineitem
+        USING PARQUET LOCATION '{sf_dir}/lineitem.parquet'
+        """
+    )
+    return spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM nemext_lineitem GROUP BY l_returnflag"
+    )

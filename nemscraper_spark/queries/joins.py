@@ -98,10 +98,12 @@ def join_expr_prev_next(spark, sf_dir):
         .agg(dec_avg("value").alias("target"))
     )
     base = ev.withColumn("ts_5m", _bucket_5m("ts"))
-    prev = F.broadcast(fc.select(
+    # fc scales with buckets x entities -> not force-broadcast; AQE
+    # converts to broadcast at runtime when it is actually small
+    prev = (fc.select(
         F.col("ts_5m"), F.col("event_type").alias("et"), F.col("target").alias("prev_target")
     ))
-    nxt = F.broadcast(fc.select(
+    nxt = (fc.select(
         (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
         F.col("event_type").alias("et"),
         F.col("target").alias("next_target"),
@@ -200,16 +202,19 @@ def join_range_intervals(spark, sf_dir):
 )
 def join_dim_cascade(spark, sf_dir):
     """J6 multi-way join cascade — calcs.md:167-233 residuals ⟕ CF ⟕
-    rates cascade. Fact stays partitioned; every dimension broadcasts, so
-    the only shuffle is the final groupBy."""
+    rates cascade."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # orders/customer grow with the fact data — broadcasting them would
+    # not survive 100TB; leave those to Catalyst/AQE (sort-merge or
+    # runtime-converted broadcast). nation/region are bounded dims →
+    # always broadcast.
     df = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )

@@ -111,15 +111,14 @@ def linear_interpolation(spark, sf_dir):
         time_bucket("ts", 300).alias("ts_5m"), "event_type"
     ).agg(dec_avg("value").alias("target"))
     base = ev.withColumn("ts_5m", time_bucket("ts", 300))
-    prev = F.broadcast(
-        fc.select("ts_5m", F.col("event_type").alias("et"), F.col("target").alias("prev_target"))
+    # fc scales with buckets × entities — leave broadcast-vs-shuffle to AQE
+    prev = fc.select(
+        "ts_5m", F.col("event_type").alias("et"), F.col("target").alias("prev_target")
     )
-    nxt = F.broadcast(
-        fc.select(
-            (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
-            F.col("event_type").alias("et"),
-            F.col("target").alias("next_target"),
-        )
+    nxt = fc.select(
+        (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
+        F.col("event_type").alias("et"),
+        F.col("target").alias("next_target"),
     )
     joined = (
         base.join(prev, (base.ts_5m == prev.ts_5m) & (base.event_type == prev.et), "left")
