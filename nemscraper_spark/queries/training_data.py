@@ -188,10 +188,18 @@ def minhash_lsh_pairs(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact-verify candidates via the inverted index
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # exact-verify ONLY the candidate docs: semi-join the inverted index
+    # down to docs that appear in some candidate pair before the
+    # quadratic-ish shingle join (at scale candidates << corpus)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    cnt = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -244,34 +252,28 @@ def simhash_fingerprint(spark, sf_dir):
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    hexval = (
-        "(ascii(substr(md5(w), p, 1)) -"
-        " CASE WHEN ascii(substr(md5(w), p, 1)) >= 97 THEN 87 ELSE 48 END)"
-    )
-    bits = (
-        words.select(
-            "doc_id",
-            "w",
-            F.explode(F.expr("sequence(1, 8)")).alias("p"),
+
+    # one ±1 vote aggregate per bit, all in a single groupBy — 32
+    # codegen'd expressions over |doc×word| rows, ONE shuffle (vs the
+    # naive explode(8)×explode(4) + double shuffle)
+    def bit_vote(k: int):
+        p, j = k // 4 + 1, k % 4
+        digit = (
+            f"(ascii(substr(md5(w), {p}, 1)) -"
+            f" CASE WHEN ascii(substr(md5(w), {p}, 1)) >= 97 THEN 87 ELSE 48 END)"
         )
-        .select("doc_id", "w", "p", F.explode(F.expr("sequence(0, 3)")).alias("j"))
-        .groupBy(
-            "doc_id", ((F.col("p") - 1) * 4 + F.col("j")).alias("bit")
+        return F.sum(
+            F.when(F.expr(f"CAST({digit} / {1 << j} AS INT) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"s{k}")
+
+    votes = words.groupBy("doc_id").agg(*[bit_vote(k) for k in range(32)])
+    simhash = None
+    for k in range(32):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr(f"CAST({hexval} / CAST(pow(2, j) AS INT) AS INT) % 2 = 1"),
-                    1,
-                ).otherwise(-1)
-            ).alias("s")
-        )
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0)
-        ).alias("simhash")
-    )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 # ----------------------------------------------------------- similarity --

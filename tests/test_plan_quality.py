@@ -1,0 +1,81 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations the
+reference implements manually (or gets from Polars/DuckDB) must appear
+in our Catalyst plans — pushdown, pruning, broadcast-for-bounded-dims,
+top-k without a global sort, partition pruning on ingest output.
+
+These tests keep plan regressions (e.g. a refactor that breaks
+pushdown by inserting a UDF) from silently costing 100x at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries import REGISTRY
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REGISTRY["filter_eq"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "PushedFilters" in p
+    assert "l_returnflag" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir):
+    df = REGISTRY["select_alias"].fn(spark, sf_dir)
+    p = plan(df)
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    # untouched wide columns must NOT be read
+    assert "l_comment" not in read_schema and "l_tax" not in read_schema
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan(REGISTRY["topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bounded_dims_broadcast(spark, sf_dir):
+    p = plan(REGISTRY["join_dim_cascade"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # nation/region sides
+
+
+def test_whole_stage_codegen_covers_expressions(spark, sf_dir):
+    p = plan(REGISTRY["project_arithmetic"].fn(spark, sf_dir))
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in p
+
+
+def test_partition_pruning_on_ingest_output(spark, tmp_path):
+    """A date= filter on splitter output must prune directories
+    (the reference hand-builds 3-day path lists for this —
+    crunch.rs:113-122; Catalyst does it from the filter)."""
+    from nemscraper_spark.sources.nemcsv import ingest
+    from tests.test_ingest import NEM_CSV
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for day in ("20220720", "20220721"):
+        with zipfile.ZipFile(landing / f"PUBLIC_X_{day}_0001.zip", "w") as zf:
+            zf.writestr(f"PUBLIC_X_{day}.CSV", NEM_CSV.replace("20220720", day))
+    out = str(tmp_path / "out")
+    ingest(spark, str(landing), out)
+
+    df = spark.read.parquet(os.path.join(out, "FPP---UNIT_MW---1")).filter(
+        F.col("date") == "2022-07-21"
+    )
+    p = plan(df)
+    assert "PartitionFilters" in p
+    pf_line = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "date" in pf_line
+    # only the matching partition's files are scanned
+    assert df.count() == 4
