@@ -32,6 +32,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _ewma_series(x: np.ndarray, alpha: float) -> np.ndarray:
@@ -43,6 +44,101 @@ def _ewma_series(x: np.ndarray, alpha: float) -> np.ndarray:
         prev = one_minus * prev + alpha * v
         out[i] = prev
     return out
+
+
+def ewma_chunked(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    chunk_col: str,
+    negate: bool = False,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """EWMA for FEW keys × VERY LONG series: the segmented-scan stitch.
+
+    The plain operator puts each key's whole series in one task — fine
+    for many keys, a bottleneck for 5 regions × years of 4s data. The
+    recurrence is a linear map, so it parallelizes over time chunks
+    (``chunk_col``, e.g. a day bucket):
+
+      phase 1 (parallel over key×chunk): local EWMA with seed 0, plus a
+        2-number chunk summary (final local value, row count)
+      phase 2 (tiny: |keys|×|chunks| rows): carry-in recurrence
+        v_{c+1} = S_c + v_c * (1-alpha)^{n_c} per key, in chunk order
+      phase 3 (parallel): fm[i] = local[i] + carry * (1-alpha)^(pos+1)
+
+    Matches the sequential recurrence to FP round-off (pow vs iterated
+    multiply); pinned against the plain operator in tests.
+    """
+    from pyspark.sql import types as T
+
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    all_keys = key_cols + [chunk_col]
+
+    local_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("__local", T.DoubleType()),
+            T.StructField("__pos", T.LongType()),
+        ]
+    )
+
+    def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        if negate:
+            x = -x
+        out = np.empty(len(x), dtype=np.float64)
+        prev = 0.0
+        om = 1.0 - alpha
+        for i, v in enumerate(x):
+            prev = om * prev + alpha * v
+            out[i] = prev
+        pdf["__local"] = out
+        pdf["__pos"] = np.arange(len(x), dtype=np.int64)
+        return pdf
+
+    local = df.groupBy(*all_keys).applyInPandas(local_pass, schema=local_schema)
+
+    # chunk summaries: (final local value, row count) — argmax via struct max
+    summaries = local.groupBy(*all_keys).agg(
+        F.max(F.struct(F.col("__pos"), F.col("__local").alias("s")))["s"].alias("__S"),
+        F.count("*").alias("__n"),
+    )
+
+    carry_schema = T.StructType(
+        [f for f in summaries.schema.fields if f.name not in ("__S", "__n")]
+        + [T.StructField("__carry", T.DoubleType())]
+    )
+
+    def carry_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(chunk_col, kind="mergesort")
+        om = 1.0 - alpha
+        carries = np.empty(len(pdf), dtype=np.float64)
+        v = 0.0
+        for i, (s, n) in enumerate(zip(pdf["__S"], pdf["__n"])):
+            carries[i] = v
+            v = s + v * om**int(n)  # end-of-chunk value feeds the next
+        pdf["__carry"] = carries
+        return pdf.drop(columns=["__S", "__n"])
+
+    carries = summaries.groupBy(*key_cols).applyInPandas(
+        carry_pass, schema=carry_schema
+    )
+
+    om = 1.0 - alpha
+    return (
+        local.join(carries, all_keys)
+        .withColumn(
+            out_col,
+            F.col("__local")
+            + F.col("__carry") * F.pow(F.lit(om), F.col("__pos") + 1),
+        )
+        .drop("__local", "__pos", "__carry")
+    )
 
 
 def ewma(

@@ -1,0 +1,162 @@
+"""Extended operator coverage: as-of join, skew-salted aggregation,
+rollup, true pivot, approximate sketches, parquet-metadata inspection
+(SURVEY.md §2 S13/S14 + common OLAP patterns a reference user would
+reach for next).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.operators.asof import asof_join
+from nemscraper_spark.queries.common import (
+    dec_sum,
+    load_table,
+    oracle_dec_sum,
+    register,
+)
+
+
+@register(
+    "asof_join_backward",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, ts AS fc_ts, value AS fc_value
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT e.event_id, e.user_id, e.ts, f.fc_value
+    FROM events e
+    ASOF LEFT JOIN fc f ON e.user_id = f.user_id AND e.ts >= f.fc_ts
+    """,
+    tags=("J-asof",),
+)
+def asof_join_backward(spark, sf_dir):
+    """As-of join: each event gets the latest 'forecast' (a sparse
+    sample of events) at or before its timestamp, per user. Spark
+    lacks a native ASOF JOIN — operators/asof.py implements the
+    union-and-carry pattern (one shuffle, no BNLJ); DuckDB's native
+    ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = ev.filter(F.col("event_id") % 20 == 0).select(
+        "user_id", F.col("ts").alias("fc_ts"), F.col("value").alias("fc_value")
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        fc,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="fc_ts",
+        value_cols=["fc_value"],
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT event_type, {oracle_dec_sum("value")} AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("skew",),
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation for skewed keys: events has ~5
+    event_types over millions of rows at scale — a naive groupBy sends
+    each whole key to one reducer. Salting fans each key over 16
+    partial aggregates, then a tiny second stage merges. Result is
+    identical to the plain GROUP BY (the oracle proves it); decimal
+    partials keep it exact."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("psum"),
+            F.count("*").alias("pn"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("psum").cast("double").alias("sum_value"),
+        F.sum("pn").alias("n"),
+    )
+
+
+@register(
+    "rollup_totals",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dec_sum("l_quantity")} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A-rollup",),
+)
+def rollup_totals(spark, sf_dir):
+    """ROLLUP hierarchy totals (flag, flag+status, grand total) — the
+    dashboard 'totals row' pattern as one pass instead of U2's stacked
+    UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle=f"""
+    SELECT l_returnflag,
+           {oracle_dec_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+           {oracle_dec_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A5-pivot",),
+)
+def pivot_status_by_flag(spark, sf_dir):
+    """True .pivot() (files.json:1081's FILTER-per-thread pivot shape,
+    §2.4 A5). Pivot values are declared, so Spark skips the extra
+    distinct-scan job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dec_sum("l_quantity"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@register("approx_sketches", oracle=None, tags=("A-approx",))
+def approx_sketches(spark, sf_dir):
+    """Approximate sketches for 100TB profiling: HLL distinct + quantile
+    sketch. No oracle (engine-specific sketch internals) — pinned by
+    tests against exact values with tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "parquet_footer_rowcounts",
+    oracle="""
+    SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+    UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+    """,
+    tags=("S13", "S14"),
+)
+def parquet_footer_rowcounts(spark, sf_dir):
+    """S13 metadata-only row counts (verify.rs:88-111): read parquet
+    FOOTERS via pyarrow — zero data IO — and cross-check against the
+    oracle's full count. S14's deeper inspector lives in
+    sources/inspect.py."""
+    from nemscraper_spark.sources.inspect import footer_row_count
+
+    rows = [
+        (t, footer_row_count(f"{sf_dir}/{t}.parquet"))
+        for t in ("lineitem", "orders", "events")
+    ]
+    return spark.createDataFrame(rows, "tbl string, n_rows long")

@@ -343,22 +343,24 @@ def cosine_topk_bruteforce(spark, sf_dir):
 def ann_lsh_cosine(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours — the scale path.
 
-    8 random hyperplanes with md5-derived ±1 components (data-
-    independent, reproducible); every vector gets a 8-bit bucket
-    signature; queries only compare against their own bucket, then
+    NBITS random hyperplanes with md5-derived ±1 components (data-
+    independent, reproducible); every vector gets an NBITS bucket
+    signature; queries probe their own bucket plus every hamming-1
+    neighbour (multi-probe — the standard recall recovery), then
     exact-cosine re-rank top-5. At 100TB the bucket join replaces the
-    quadratic cross join with an equi-join on (bucket), and multi-probe
-    (flipping low-confidence bits) recovers recall — here single-probe.
-    Verified for recall against cosine_topk_bruteforce in tests.
+    quadratic cross join with an equi-join on (bucket): probing
+    (NBITS+1)/2^NBITS of the corpus. Recall floor pinned against
+    cosine_topk_bruteforce in tests/test_training_ops.py.
     """
     from pyspark.sql import Window
 
+    NBITS = 4
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
     # hyperplane sign for (plane p, dim d): parity of first md5 hex digit
     planes = (
-        spark.range(8)
+        spark.range(NBITS)
         .withColumnRenamed("id", "p")
         .crossJoin(spark.range(64).withColumnRenamed("id", "d"))
         .select(
@@ -388,8 +390,21 @@ def ann_lsh_cosine(spark, sf_dir):
             F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
         )
 
-    q = ev.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+    # multi-probe: own bucket + flip each bit once
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("long")
+            for b in range(NBITS)
+        ],
+    )
+    q = (
+        ev.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(probe_buckets).alias("bucket"),
+        )
     )
     c = ev.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "bucket")
     pairs = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
@@ -401,6 +416,91 @@ def ann_lsh_cosine(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register("ann_ivf_cosine", oracle=None, tags=("similarity",))
+def ann_ivf_cosine(spark, sf_dir):
+    """IVF (inverted-file) approximate nearest neighbours.
+
+    Coarse quantizer: k=8 centroids from 2 deterministic Lloyd
+    iterations seeded with the first k vectors (no RNG — reproducible
+    anywhere), built entirely with explode/groupBy/avg DataFrame ops.
+    Every vector is assigned to its nearest centroid (the inverted
+    list); queries probe their own list plus the next-nearest (nprobe=2)
+    and exact-cosine re-rank top-5.
+
+    At 100TB: centroids are a tiny broadcast table; assignment is one
+    map; the probe join is an equi-join on centroid id — candidate set
+    shrinks by ~k/nprobe vs brute force, and k scales to 2^16 with the
+    same plan shape.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    k = 8
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(2):  # Lloyd iterations
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("d", dot(F.col("e"), F.col("c")))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+        )
+        cents = (
+            assign.select("cid", F.posexplode("e").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .select("cid", F.expr("transform(ms, s -> s.m)").alias("c"))
+        )
+
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d", dot(F.col("e"), F.col("c")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+            ),
+        )
+    )
+    lists = ranked.filter(F.col("rk") == 1).select("vec_id", "e", "cid")
+    probes = ranked.filter(F.col("rk") <= 2).select(  # nprobe=2
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cid"
+    ).filter(F.col("query_id") < 10)
+
+    cand = probes.join(
+        lists.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cid"),
+        "cid",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        dot(F.col("qe"), F.col("ce"))
+        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
     )
