@@ -160,3 +160,43 @@ def parquet_footer_rowcounts(spark, sf_dir):
         for t in ("lineitem", "orders", "events")
     ]
     return spark.createDataFrame(rows, "tbl string, n_rows long")
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    WITH d AS (
+      SELECT event_id AS dl_id, ts AS dl_start, ts + INTERVAL '30 minutes' AS dl_end
+      FROM events WHERE event_id % 100 = 0
+    ),
+    t AS (SELECT DISTINCT time_bucket(INTERVAL '5 minutes', ts) AS ts
+          FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00')
+    SELECT t.ts, count(d.dl_id) AS active_downloads
+    FROM t LEFT JOIN d ON t.ts >= d.dl_start AND t.ts < d.dl_end
+    GROUP BY t.ts
+    """,
+    tags=("J5", "scale"),
+)
+def join_range_bucketed(spark, sf_dir):
+    """J5 again, but scalable: same result as join_range_intervals via
+    operators/rangejoin.py's bucket equi-join instead of the broadcast
+    nested loop. tests/test_plan_quality.py pins the absence of
+    BroadcastNestedLoopJoin from this plan."""
+    from nemscraper_spark.functions.columns import time_bucket
+    from nemscraper_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("dl_id"),
+        F.col("ts").alias("dl_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("dl_end"),
+    )
+    t = (
+        ev.filter(F.col("ts") < "2024-01-02 00:00:00")
+        .select(time_bucket("ts", 300).alias("ts"))
+        .distinct()
+    )
+    joined = bucketed_range_join(
+        t, "ts", d, "dl_start", "dl_end", bucket_seconds=1800, how="left"
+    )
+    return joined.groupBy("ts").agg(F.count("dl_id").alias("active_downloads"))

@@ -432,13 +432,15 @@ def ann_ivf_cosine(spark, sf_dir):
     list); queries probe their own list plus the next-nearest (nprobe=2)
     and exact-cosine re-rank top-5.
 
-    At 100TB: centroids are a tiny broadcast table; assignment is one
-    map; the probe join is an equi-join on centroid id — candidate set
-    shrinks by ~k/nprobe vs brute force, and k scales to 2^16 with the
-    same plan shape.
+    At 100TB: centroids are collected to the driver each iteration
+    (k x dim doubles — tiny by design, the MLlib k-means pattern) and
+    re-enter the plan as LITERALS, so assignment is a pure projection:
+    no crossJoin, no window, no shuffle. The per-iteration re-centering
+    is one partial-aggregated groupBy(cid) with per-dimension sums.
+    The probe join is a broadcast equi-join on centroid id — candidate
+    set shrinks by ~nprobe/k vs brute force, and k scales to 2^16 with
+    the same plan shape.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
@@ -449,58 +451,74 @@ def ann_ivf_cosine(spark, sf_dir):
         )
 
     k = 8
-    cents = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
-    for _ in range(2):  # Lloyd iterations
-        assign = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("d", dot(F.col("e"), F.col("c")))
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
-                ),
+    dim = 64
+
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def assign_arr(cents):
+        # [(neg distance, cid)] sorted asc == distance desc, cid asc ties
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot(F.col("e"), lit_vec(c))).alias("nd"),
+                        F.lit(int(cid)).cast("long").alias("cid"),
+                    )
+                    for cid, c in cents
+                ]
             )
-            .filter(F.col("rk") == 1)
-        )
-        cents = (
-            assign.select("cid", F.posexplode("e").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
-            .select("cid", F.expr("transform(ms, s -> s.m)").alias("c"))
         )
 
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("d", dot(F.col("e"), F.col("c")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+    # seed: first k vectors (deterministic, no RNG)
+    cents = sorted(
+        (r.vec_id, list(r.e)) for r in e.filter(F.col("vec_id") < k).collect()
+    )
+    for _ in range(2):  # Lloyd iterations — tiny collect per round
+        rows = (
+            e.withColumn("cid", assign_arr(cents)[0]["cid"])
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        cents = sorted(
+            (r["cid"], [r[f"s{i}"] / r["n"] for i in range(dim)]) for r in rows
+        )
+
+    assigned = e.withColumn("arr", assign_arr(cents))
+    lists = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("arr")[0]["cid"].alias("cid"),
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            # nprobe=2: own list + next-nearest
+            F.explode(F.array(F.col("arr")[0]["cid"], F.col("arr")[1]["cid"])).alias(
+                "cid"
             ),
         )
     )
-    lists = ranked.filter(F.col("rk") == 1).select("vec_id", "e", "cid")
-    probes = ranked.filter(F.col("rk") <= 2).select(  # nprobe=2
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cid"
-    ).filter(F.col("query_id") < 10)
 
-    cand = probes.join(
-        lists.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cid"),
-        "cid",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = F.broadcast(probes).join(lists, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     cos = F.round(
         dot(F.col("qe"), F.col("ce"))
         / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
         9,
     )
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         cand.select("query_id", "neighbor_id", cos.alias("cosine"))
-        .distinct()
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
     )
@@ -692,4 +710,292 @@ def multimodal_decode_stub(spark, sf_dir):
 
     return payloads.mapInPandas(
         extract, schema="doc_id long, n_bytes long, first_byte long, byte_mean double"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) a
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+        ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: every (a, b) with cosine >= 0.4,
+    the semantic-dedup primitive (SemDeDup-style: drop one side of each
+    surviving pair).
+
+    Exact all-pairs here (broadcast nested-loop, no shuffle; the filter
+    runs inside the loop so only survivors materialize). The comparison
+    happens on the 9dp-ROUNDED value so the cut is reproducible across
+    engines. At 100TB the same predicate runs over LSH-bucket candidates
+    (ann_lsh_cosine's hyperplane buckets) or block-GEMM tiles instead of
+    the full cross product — candidates-then-verify keeps it exact-on-
+    survivors while pruning ~2^bits of the corpus per probe.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    dim = 64  # fixture embedding width (TESTDATA.md)
+
+    def dot_flat(x, y):
+        # left-associated 64-term sum: identical float sequence to the
+        # sequential accumulate the oracle uses, but a flat codegen'd
+        # expression — no per-pair array allocation (the HOF
+        # aggregate/zip_with form costs ~4x on the all-pairs loop)
+        acc = x[0] * y[0]
+        for i in range(1, dim):
+            acc = acc + x[i] * y[i]
+        return acc
+
+    # norms once per VECTOR (bit-identical to computing them per pair)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.sqrt(dot_flat(F.col("e"), F.col("e"))).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.sqrt(dot_flat(F.col("e"), F.col("e"))).alias("nb"),
+    )
+    cos = F.round(
+        dot_flat(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    SELECT doc_id, src_w, src_h,
+           CASE WHEN GREATEST(src_w, src_h) <= 32 THEN src_w
+                ELSE GREATEST(1, (src_w * 32) // GREATEST(src_w, src_h)) END AS out_w,
+           CASE WHEN GREATEST(src_w, src_h) <= 32 THEN src_h
+                ELSE GREATEST(1, (src_h * 32) // GREATEST(src_w, src_h)) END AS out_h,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id, text,
+                 16 + doc_id % 48 AS src_w,
+                 16 + (doc_id * 7) % 48 AS src_h
+          FROM documents)
+    """,
+    tags=("multimodal",),
+)
+def multimodal_image_resize(spark, sf_dir):
+    """Image resize plumbing: binary payload + typed (width, height)
+    metadata -> fit-in-32x32-box output dims, via mapInPandas in Arrow
+    batches.
+
+    The pixel work is a STUB (no image libs in this container): real
+    PIL/opencv decode-resize drops into the same batch iterator, same
+    fixed-width output schema, same partition-parallel execution. The
+    aspect-ratio arithmetic is integer-only so the oracle reproduces it
+    bit-for-bit; metadata synthesized deterministically from doc_id
+    (the driver tables carry no real image columns).
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        (F.lit(16) + F.col("doc_id") % 48).alias("src_w"),
+        (F.lit(16) + (F.col("doc_id") * 7) % 48).alias("src_h"),
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            w = pdf["src_w"].astype("int64")
+            h = pdf["src_h"].astype("int64")
+            g = pd.concat([w, h], axis=1).max(axis=1)
+            # STUB decode+resample: a real impl decodes pdf["payload"]
+            # and interpolates pixels; dims math is the contract.
+            out_w = w.where(g <= 32, ((w * 32) // g).clip(lower=1))
+            out_h = h.where(g <= 32, ((h * 32) // g).clip(lower=1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": w,
+                    "src_h": h,
+                    "out_w": out_w.astype("int64"),
+                    "out_h": out_h.astype("int64"),
+                    "n_bytes": pdf["payload"].str.len().astype("int64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        resize,
+        schema="doc_id long, src_w long, src_h long, out_w long, out_h long, n_bytes long",
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           (n_bytes * (frame_idx + 1)) % 997 AS frame_feature
+    FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+                 1 + CAST(length(text) AS BIGINT) % 240 AS n_frames
+          FROM documents),
+         LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 30)) AS frame_idx)
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: payload treated as a clip with
+    n_frames = 1 + n_bytes % 240; sample every 30th frame (1/s at
+    30fps), one output row per sampled frame.
+
+    Index generation is pure JVM (sequence + explode — no Python in the
+    fan-out), then a mapInPandas stub 'decodes' each sampled frame to a
+    feature. Real av/ffmpeg frame extraction replaces only the stub
+    body; the explode-then-batch shape is how per-frame work
+    distributes at scale (frames of one clip can land on different
+    tasks).
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = (
+        d.select(
+            "doc_id",
+            F.encode("text", "utf-8").alias("payload"),
+            F.length(F.col("text")).cast("long").alias("n_bytes"),
+        )
+        .withColumn("n_frames", F.lit(1) + F.col("n_bytes") % 240)
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(30).cast("long"))
+            ),
+        )
+    )
+
+    def decode_frames(batches):
+        for pdf in batches:
+            # STUB frame decode: real impl seeks pdf["payload"] to the
+            # frame offset and decodes; feature is deterministic here.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "frame_feature": (
+                        pdf["n_bytes"].astype("int64")
+                        * (pdf["frame_idx"].astype("int64") + 1)
+                    )
+                    % 997,
+                }
+            )
+
+    return frames.mapInPandas(
+        decode_frames, schema="doc_id long, frame_idx long, frame_feature long"
+    )
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM q
+      WHERE n_chars >= 100
+        AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ),
+    langed AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN {_lang_hits_sql(STOPWORDS["en"])} >= {_lang_hits_sql(STOPWORDS["es"])}
+                   AND {_lang_hits_sql(STOPWORDS["en"])} >= {_lang_hits_sql(STOPWORDS["fr"])}
+                   AND {_lang_hits_sql(STOPWORDS["en"])} >= {_lang_hits_sql(STOPWORDS["de"])} THEN 'en'
+                  WHEN {_lang_hits_sql(STOPWORDS["es"])} >= {_lang_hits_sql(STOPWORDS["fr"])}
+                   AND {_lang_hits_sql(STOPWORDS["es"])} >= {_lang_hits_sql(STOPWORDS["de"])} THEN 'es'
+                  WHEN {_lang_hits_sql(STOPWORDS["fr"])} >= {_lang_hits_sql(STOPWORDS["de"])} THEN 'fr'
+                  ELSE 'de' END AS predicted_lang
+      FROM deduped
+    )
+    SELECT source, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM langed GROUP BY source, predicted_lang
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def training_corpus_pipeline(spark, sf_dir):
+    """The end-to-end corpus-prep pipeline in ONE declarative plan:
+    quality filter -> exact dedup keep-first -> language ID -> per
+    (source, lang) doc/token totals.
+
+    Every stage is column algebra over the same scan, so Catalyst fuses
+    filter+scoring into the scan stage; the only shuffles are the dedup
+    hash partition and the final aggregation — the minimal shuffle set
+    for these semantics at any scale.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    n_stop = F.expr(
+        r"size(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b', 0))"
+    ).cast("long")
+    ratio = n_stop.cast("double") / n_tokens
+
+    filtered = d.select("doc_id", "source", "text", n_tokens.alias("n_tokens")).filter(
+        (n_chars >= 100) & ratio.between(0.01, 0.6)
+    )
+    deduped = (
+        filtered.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    scores = {}
+    for lang in ("en", "es", "fr", "de"):
+        alt = "|".join(STOPWORDS[lang])
+        scores[lang] = F.expr(rf"size(regexp_extract_all(text, '\\b({alt})\\b', 0))")
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return (
+        deduped.select("source", pred.alias("predicted_lang"), "n_tokens")
+        .groupBy("source", "predicted_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
     )

@@ -79,3 +79,12 @@ def test_partition_pruning_on_ingest_output(spark, tmp_path):
     assert "date" in pf_line
     # only the matching partition's files are scanned
     assert df.count() == 4
+
+
+def test_range_join_bucketed_avoids_bnlj(spark, sf_dir):
+    """The bucketized range join must plan as an equi-join (sort-merge
+    or hash on the bucket key) — never a nested loop over the whole
+    interval side (operators/rangejoin.py)."""
+    p = plan(REGISTRY["join_range_bucketed"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
