@@ -200,3 +200,37 @@ def join_range_bucketed(spark, sf_dir):
         t, "ts", d, "dl_start", "dl_end", bucket_seconds=1800, how="left"
     )
     return joined.groupBy("ts").agg(F.count("dl_id").alias("active_downloads"))
+
+
+@register(
+    "skew_salted_join",
+    oracle=f"""
+    SELECT e.event_type, e.event_id, e.value, d.type_weight
+    FROM events e
+    JOIN (SELECT event_type,
+                 CAST(length(event_type) AS DOUBLE) AS type_weight
+          FROM events GROUP BY event_type) d
+      ON e.event_type = d.event_type
+    """,
+    tags=("skew", "scale"),
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted fact-to-dim join on the heavily-skewed event_type key
+    (~5 values across every row): operators/skewjoin.py fans each hot
+    key over 16 sub-partitions and replicates the tiny dim per salt.
+    Row-identical to the plain join (the oracle proves it) — the salt
+    only refines partitioning. The merge hint forces the shuffle path
+    the operator exists for; at test scale the planner would otherwise
+    broadcast the dim and no salting would be observable."""
+    from nemscraper_spark.operators.skewjoin import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.length("event_type").cast("double").alias("type_weight")
+    )
+    return salted_join(
+        ev.select("event_type", "event_id", "value"),
+        dim.hint("merge"),
+        on=["event_type"],
+        n_salts=16,
+    ).select("event_type", "event_id", "value", "type_weight")

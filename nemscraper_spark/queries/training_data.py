@@ -252,21 +252,28 @@ def simhash_fingerprint(spark, sf_dir):
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
+    # hoist the hash to ONE md5 + 8 hex-digit ints per row — the 32
+    # vote aggregates below then run pure integer bit tests instead of
+    # each re-deriving md5/ascii (no CSE guarantee inside agg exprs)
+    digit = (
+        "(ascii(substr(h, {p}, 1)) -"
+        " CASE WHEN ascii(substr(h, {p}, 1)) >= 97 THEN 87 ELSE 48 END)"
+    )
+    hashed = words.withColumn("h", F.md5("w")).select(
+        "doc_id",
+        *[F.expr(digit.format(p=p)).alias(f"d{p}") for p in range(1, 9)],
+    )
 
     # one ±1 vote aggregate per bit, all in a single groupBy — 32
     # codegen'd expressions over |doc×word| rows, ONE shuffle (vs the
     # naive explode(8)×explode(4) + double shuffle)
     def bit_vote(k: int):
         p, j = k // 4 + 1, k % 4
-        digit = (
-            f"(ascii(substr(md5(w), {p}, 1)) -"
-            f" CASE WHEN ascii(substr(md5(w), {p}, 1)) >= 97 THEN 87 ELSE 48 END)"
-        )
         return F.sum(
-            F.when(F.expr(f"CAST({digit} / {1 << j} AS INT) % 2 = 1"), 1).otherwise(-1)
+            F.when(F.expr(f"shiftright(d{p}, {j}) % 2 = 1"), 1).otherwise(-1)
         ).alias(f"s{k}")
 
-    votes = words.groupBy("doc_id").agg(*[bit_vote(k) for k in range(32)])
+    votes = hashed.groupBy("doc_id").agg(*[bit_vote(k) for k in range(32)])
     simhash = None
     for k in range(32):
         term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
