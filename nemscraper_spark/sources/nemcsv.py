@@ -110,7 +110,12 @@ def parse_files(spark: SparkSession, input_path: str | list[str]) -> DataFrame:
                             out["table_key"].append(current_key)
                             out["headers"].append(current_headers)
                             out["fields"].append(fields)
-            yield pd.DataFrame(out)
+            # object dtype keeps Arrow happy when a batch has ZERO D
+            # rows (default empty-frame dtype is float64, which can't
+            # convert to list<string>)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
 
     return binf.mapInPandas(extract, schema=PARSED_SCHEMA)
 

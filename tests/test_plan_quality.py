@@ -88,3 +88,21 @@ def test_range_join_bucketed_avoids_bnlj(spark, sf_dir):
     p = plan(REGISTRY["join_range_bucketed"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_fpp_pipeline_join_strategies(spark, sf_dir):
+    """The flagship pipeline must broadcast every equi-join (forecast/
+    freq sides are bounded at any SF by |buckets x units|): no
+    sort-merge joins; nested-loop only for the two deliberate spine
+    cross joins."""
+    p = plan(REGISTRY["fpp_performance"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # spine x units grids
+
+
+def test_corpus_pipeline_minimal_shuffles(spark, sf_dir):
+    """filter -> dedup -> lang-ID -> agg must stay join-free with only
+    the dedup hash partition + aggregation exchanges."""
+    p = plan(REGISTRY["training_corpus_pipeline"].fn(spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Exchange") <= 4
