@@ -30,9 +30,18 @@ def main() -> None:
     from nemscraper_spark.queries import REGISTRY
 
     spark = get_spark(app_name="nemscraper_spark_bench")
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM + python workers so per-query numbers measure the
+    # queries, not session/worker startup (the first Arrow stage forks
+    # 32 python processes that each import pandas)
     spark.range(1).count()
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(64).repartition(32).mapInPandas(
+        _noop, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()

@@ -43,9 +43,15 @@ def compact_partition(spark: SparkSession, partition_dir: str) -> int:
     if not files:
         return 0
     df = read_evolved(spark, files).repartition(1)
-    rows = df.count()
     tmp = partition_dir.rstrip("/") + ".compact-tmp"
     df.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    # row count from the staged footers (metadata-only, no extra job)
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(tmp, "*.parquet"))
+    )
     # atomic-ish swap mirroring compactor.rs:645-749 (.tmp + rename)
     import shutil
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from nemscraper_spark.functions import time_bucket
 from nemscraper_spark.queries.common import (
+    fan_out,
     dec_avg,
     dec_sum,
     load_table,
@@ -43,7 +44,7 @@ from nemscraper_spark.queries.common import (
 def q1_pricing_summary(spark, sf_dir):
     """A1 groupBy + SUM (TPC-H Q1 shape) — calcs.md:121-127 grouped
     sums; the same shape as the dashboards' 5-min bucket sums."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -113,7 +114,7 @@ def count_per_key(spark, sf_dir):
 def avg_by_time_bucket(spark, sf_dir):
     """A4/A8 AVG per time bucket × entity — all.json:138
     AVG(measured_mw) GROUP BY time_bucket, participant."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     return ev.groupBy(
         time_bucket("ts", 3600).alias("bucket"), "event_type"
     ).agg(dec_avg("value").alias("avg_value"), F.count("*").alias("n"))

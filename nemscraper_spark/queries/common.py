@@ -78,6 +78,86 @@ def oracle_dec_avg(expr: str, scale: int = 4, precision: int = 25) -> str:
     return f"{oracle_dec_sum(expr, scale, precision)} / COUNT({expr})"
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small input across all cores before compute-heavy
+    per-row work (all-pairs loops, shingle explodes, hash towers).
+
+    The local testdata arrives as ONE single-row-group parquet file per
+    table, so every downstream map stage would otherwise run on one
+    core out of 32. Guarded on the actual split count: on a real
+    cluster the 100TB input already has >= parallelism splits and this
+    is a no-op — it never introduces an extra shuffle on the scale
+    path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
+def flat_dot(x, y, dim: int):
+    """Dot product as a flat left-associated codegen expression.
+
+    Identical float sequence to a sequential accumulate (so results
+    hash-match DuckDB's list_dot_product), but compiled into one
+    whole-stage-codegen expression: no per-row array allocation. The
+    HOF ``aggregate(zip_with(...))`` form costs ~4x in hot pair loops.
+    """
+    acc = x[0] * y[0]
+    for i in range(1, dim):
+        acc = acc + x[i] * y[i]
+    return acc
+
+
+def pairwise_cosine9(pairs: DataFrame) -> DataFrame:
+    """(query_id, qe, neighbor_id, ce) -> (query_id, neighbor_id,
+    cosine) with cosine ROUND(dot/(|q||c|), 9).
+
+    Arrow+numpy re-rank kernel shared by the ANN variants. A flat
+    64-term JVM expression would be bit-identical but its generated
+    code is unique per invocation (expression IDs leak into the
+    source), so janino recompiles ~seconds of codegen every run. The
+    numpy loop accumulates dim-in-order — the exact float sequence of
+    a sequential dot — and rounds via decimal HALF_UP, matching both
+    Spark's ROUND and DuckDB's.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qe"]])
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["ce"]])
+            acc = np.zeros(n)
+            qs = np.zeros(n)
+            cs = np.zeros(n)
+            for i in range(Q.shape[1]):
+                acc += Q[:, i] * C[:, i]
+                qs += Q[:, i] * Q[:, i]
+                cs += C[:, i] * C[:, i]
+            cos = acc / (np.sqrt(qs) * np.sqrt(cs))
+            r9 = [
+                float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+                for x in cos
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cosine": pd.Series(r9, dtype="float64"),
+                }
+            )
+
+    return pairs.select("query_id", "qe", "neighbor_id", "ce").mapInPandas(
+        fn, schema="query_id long, neighbor_id long, cosine double"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from nemscraper_spark.operators.asof import asof_join
 from nemscraper_spark.queries.common import (
+    fan_out,
     dec_sum,
     load_table,
     oracle_dec_sum,
@@ -96,7 +97,7 @@ def rollup_totals(spark, sf_dir):
     """ROLLUP hierarchy totals (flag, flag+status, grand total) — the
     dashboard 'totals row' pattern as one pass instead of U2's stacked
     UNION ALL."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
     )

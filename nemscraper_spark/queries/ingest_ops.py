@@ -16,7 +16,7 @@ import zipfile
 
 from pyspark.sql import functions as F
 
-from nemscraper_spark.queries.common import load_table, register
+from nemscraper_spark.queries.common import fan_out, load_table, register
 
 _NEM_CSV = "\r\n".join(
     [
@@ -106,7 +106,7 @@ def sql_dashboard_totals(spark, sf_dir):
     """§3.3 interactive-SQL surface: the same query text a dashboard
     would issue, executed via spark.sql over registered views — the
     engine's equivalent of the Grafana→DuckDB path (fpp.json:129-1068)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    fan_out(load_table(spark, sf_dir, "orders")).createOrReplaceTempView("orders_v")
     return spark.sql(
         """
         SELECT o_orderpriority,

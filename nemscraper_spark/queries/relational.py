@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nemscraper_spark.functions import clean_str, date_from_filename
-from nemscraper_spark.queries.common import load_table, register
+from nemscraper_spark.queries.common import fan_out, load_table, register
 
 
 @register(
@@ -279,7 +279,7 @@ def ratio_division(spark, sf_dir):
     DECIMAL and divide as double — bit-identical results (the same trick
     the oracle uses; see aggregates.py:dec_sum).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     num = F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(25,6)"))
     den = F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
     return li.groupBy("l_returnflag").agg(

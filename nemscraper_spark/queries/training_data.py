@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nemscraper_spark.queries.common import load_table, register
+from nemscraper_spark.queries.common import (
+    fan_out,
+    load_table,
+    pairwise_cosine9,
+    register,
+)
 
 STOPWORDS = {
     "en": ("the", "a", "and", "of", "to"),
@@ -93,7 +98,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     Shuffle-on-shingle equi-join (inverted index), NOT an all-pairs
     cross join — candidate pairs only materialize where shingles
     actually collide."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     sh = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
@@ -142,7 +147,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     of the verify step is pinned against ngram_jaccard_pairs in
     tests/test_training_ops.py.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n_perm, band_size = 16, 4
     sh = (
         d.withColumn("w", F.split("text", " "))
@@ -248,7 +253,7 @@ def simhash_fingerprint(spark, sf_dir):
     engines: md5 hex digits → 4 bits each, ±1 majority vote per bit).
     Near-dup = small hamming distance; band-join on simhash prefixes
     gives the scalable pairing (same LSH idea as minhash_lsh_pairs)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
@@ -362,40 +367,54 @@ def ann_lsh_cosine(spark, sf_dir):
     from pyspark.sql import Window
 
     NBITS = 4
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # hyperplane sign for (plane p, dim d): parity of first md5 hex digit
-    planes = (
-        spark.range(NBITS)
-        .withColumnRenamed("id", "p")
-        .crossJoin(spark.range(64).withColumnRenamed("id", "d"))
-        .select(
-            "p",
-            "d",
-            F.expr(
-                "CASE WHEN (ascii(substr(md5(concat(p, '_', d)), 1, 1)) % 2) = 0"
-                " THEN 1.0 ELSE -1.0 END"
-            ).alias("sign"),
-        )
-    )
-    comp = (
-        e.select("vec_id", F.posexplode("e").alias("d", "x"))
-        .join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
-    )
-    sig = comp.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("CAST(pow(2, p) AS BIGINT)")).otherwise(0)
-        ).alias("bucket")
-    )
-    ev = e.join(sig, "vec_id")
+    # hyperplane sign for (plane p, dim d): parity of the CHARACTER
+    # CODE of the first md5 hex digit (ascii(...) % 2 in the SQL
+    # formulation this replaces). Data-independent → computed driver-
+    # side and shipped as a tiny (NBITS x dim) matrix into one numpy
+    # signature kernel: X @ S.T, bits where proj > 0. Avoids both the
+    # 64x posexplode row blowup and a per-invocation janino recompile
+    # of a 256-term codegen tree.
+    import hashlib
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
+    signs = [
+        [
+            1.0
+            if ord(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0]) % 2 == 0
+            else -1.0
+            for d in range(64)
+        ]
+        for p in range(NBITS)
+    ]
+
+    def sig_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = np.asarray(signs, dtype=np.float64)  # (NBITS, dim)
+        nb = S.shape[0]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            # dim-in-order accumulate (same float sequence as the
+            # sequential +/- sum this replaces)
+            proj = np.zeros((n, nb))
+            for i in range(X.shape[1]):
+                proj += X[:, i][:, None] * S[:, i][None, :]
+            bucket = ((proj > 0) @ (1 << np.arange(nb))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "bucket": bucket,
+                    "e": pdf["e"],
+                }
+            )
+
+    ev = e.mapInPandas(sig_fn, schema="vec_id long, bucket long, e array<double>")
 
     # multi-probe: own bucket + flip each bit once
     probe_buckets = F.array(
@@ -415,14 +434,9 @@ def ann_lsh_cosine(spark, sf_dir):
     )
     c = ev.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "bucket")
     pairs = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = F.round(
-        dot(F.col("qe"), F.col("ce"))
-        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
-        9,
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        pairwise_cosine9(pairs)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
     )
@@ -448,58 +462,108 @@ def ann_ivf_cosine(spark, sf_dir):
     set shrinks by ~nprobe/k vs brute force, and k scales to 2^16 with
     the same plan shape.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
 
     k = 8
     dim = 64
 
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
+    def assign(cents):
+        # numpy kernel in mapInPandas: one (n x dim) @ (dim x k) GEMM
+        # per Arrow batch, argsort by (-dot, cid), e passed through so
+        # no re-join with the input. The JVM alternative (k sorted
+        # structs of 64-literal dot trees) explodes analysis + codegen
+        # time, and runs interpreted — Arrow+numpy is the fast path for
+        # dense numeric kernels. Ties break by centroid id, matching
+        # the sorted-struct semantics this replaces.
+        cmat = [list(map(float, c)) for _, c in cents]
 
-    def assign_arr(cents):
-        # [(neg distance, cid)] sorted asc == distance desc, cid asc ties
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (-dot(F.col("e"), lit_vec(c))).alias("nd"),
-                        F.lit(int(cid)).cast("long").alias("cid"),
-                    )
-                    for cid, c in cents
-                ]
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(cmat, dtype=np.float64)  # (k, dim)
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+                dots = X @ C.T  # (n, k); nearest == max dot
+                order = np.lexsort(
+                    (np.tile(np.arange(C.shape[0]), (n, 1)), -dots), axis=1
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        "cid": order[:, 0].astype("int64"),
+                        "cid2": order[:, 1].astype("int64"),
+                        "e": pdf["e"],
+                    }
+                )
+
+        return fn
+
+    def recenter_partials(cents):
+        # per-partition (cid, count, sum-vector) partials — k x dim
+        # doubles per partition, the treeAggregate shape: the driver
+        # only ever sees num_partitions x k tiny rows, never the data
+        cmat = [list(map(float, c)) for _, c in cents]
+
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(cmat, dtype=np.float64)
+            k_, d_ = C.shape
+            cnt = np.zeros(k_, dtype=np.int64)
+            sums = np.zeros((k_, d_))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+                near = np.lexsort(
+                    (np.tile(np.arange(k_), (len(X), 1)), -(X @ C.T)), axis=1
+                )[:, 0]
+                for c in range(k_):
+                    m = near == c
+                    cnt[c] += int(m.sum())
+                    if m.any():
+                        sums[c] += X[m].sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "cid": pd.Series(range(k_), dtype="int64"),
+                    "n": pd.Series(cnt, dtype="int64"),
+                    "s": pd.Series([list(map(float, s)) for s in sums]),
+                }
             )
-        )
+
+        return fn
 
     # seed: first k vectors (deterministic, no RNG)
     cents = sorted(
         (r.vec_id, list(r.e)) for r in e.filter(F.col("vec_id") < k).collect()
     )
     for _ in range(2):  # Lloyd iterations — tiny collect per round
-        rows = (
-            e.withColumn("cid", assign_arr(cents)[0]["cid"])
-            .groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
+        import numpy as np
+
+        parts = e.mapInPandas(
+            recenter_partials(cents), schema="cid long, n long, s array<double>"
+        ).collect()
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim))
+        for r in parts:
+            cnt[r.cid] += r.n
+            sums[r.cid] += np.asarray(r.s)
         cents = sorted(
-            (r["cid"], [r[f"s{i}"] / r["n"] for i in range(dim)]) for r in rows
+            (cid, list(sums[cid] / cnt[cid])) for cid in range(k) if cnt[cid] > 0
         )
 
-    assigned = e.withColumn("arr", assign_arr(cents))
+    assigned = e.mapInPandas(
+        assign(cents), schema="vec_id long, cid long, cid2 long, e array<double>"
+    )
     lists = assigned.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ce"),
-        F.col("arr")[0]["cid"].alias("cid"),
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cid"
     )
     probes = (
         assigned.filter(F.col("vec_id") < 10)
@@ -507,25 +571,18 @@ def ann_ivf_cosine(spark, sf_dir):
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
             # nprobe=2: own list + next-nearest
-            F.explode(F.array(F.col("arr")[0]["cid"], F.col("arr")[1]["cid"])).alias(
-                "cid"
-            ),
+            F.explode(F.array(F.col("cid"), F.col("cid2"))).alias("cid"),
         )
     )
 
     cand = F.broadcast(probes).join(lists, "cid").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = F.round(
-        dot(F.col("qe"), F.col("ce"))
-        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))),
-        9,
-    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
-        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        pairwise_cosine9(cand)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
     )
@@ -662,7 +719,9 @@ def doc_winnow_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: min hash over all char-16-gram
     shingles (rolling-hash document fingerprinting; robust to small
     edits unlike dedup_exact's whole-text md5)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 16)
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 16
+    )
     return (
         d.select(
             "doc_id",
@@ -740,48 +799,95 @@ def dedup_embedding_cosine(spark, sf_dir):
     the semantic-dedup primitive (SemDeDup-style: drop one side of each
     surviving pair).
 
-    Exact all-pairs here (broadcast nested-loop, no shuffle; the filter
-    runs inside the loop so only survivors materialize). The comparison
-    happens on the 9dp-ROUNDED value so the cut is reproducible across
-    engines. At 100TB the same predicate runs over LSH-bucket candidates
-    (ann_lsh_cosine's hyperplane buckets) or block-GEMM tiles instead of
-    the full cross product — candidates-then-verify keeps it exact-on-
-    survivors while pruning ~2^bits of the corpus per probe.
+    Exact all-pairs as a broadcast tile loop: the corpus matrix is
+    broadcast once (sc.broadcast, Arrow-free numpy), and each partition
+    compares its rows against all higher vec_ids — vectorized numpy in
+    mapInPandas, no shuffle, pairs partition-unique by construction.
+    A JVM nested-loop join can't whole-stage-codegen a conditioned
+    BNLJ, so the 64-FLOP-per-pair kernel would run on the interpreted
+    expression evaluator (~10x slower than this Arrow+numpy path).
+
+    Float parity: the accumulation loops over the 64 dims IN ORDER
+    (vectorized across pairs), producing the exact float sequence of a
+    sequential dot — bit-identical to DuckDB's list_dot_product — and
+    survivors are re-rounded with decimal HALF_UP to match both
+    engines' ROUND(x, 9). The >= 0.4 cut happens on the rounded value.
+
+    At 100TB the broadcast side becomes LSH/IVF-pruned tiles
+    (ann_lsh_cosine's buckets) instead of the whole corpus —
+    candidates-then-verify with the same kernel.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    dim = 64  # fixture embedding width (TESTDATA.md)
+    rows = sorted(
+        (int(r.vec_id), r.e)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(
+        ([r[0] for r in rows], [r[1] for r in rows])
+    )
 
-    def dot_flat(x, y):
-        # left-associated 64-term sum: identical float sequence to the
-        # sequential accumulate the oracle uses, but a flat codegen'd
-        # expression — no per-pair array allocation (the HOF
-        # aggregate/zip_with form costs ~4x on the all-pairs loop)
-        acc = x[0] * y[0]
-        for i in range(1, dim):
-            acc = acc + x[i] * y[i]
-        return acc
+    def pairs(batches):
+        # self-contained closure: workers may not have the repo on
+        # sys.path when the driver runs elsewhere (cloudpickle ships
+        # this function by value)
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
 
-    # norms once per VECTOR (bit-identical to computing them per pair)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.sqrt(dot_flat(F.col("e"), F.col("e"))).alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.sqrt(dot_flat(F.col("e"), F.col("e"))).alias("nb"),
-    )
-    cos = F.round(
-        dot_flat(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 9
-    )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
+        ids_list, vecs_list = bc.value
+        ids = np.asarray(ids_list, dtype=np.int64)
+        mat = np.asarray(vecs_list, dtype=np.float64)  # (N, dim)
+        ndim = mat.shape[1]
+        # norms via the same in-order accumulation as the dot below
+        nsq = np.zeros(len(ids))
+        for i in range(ndim):
+            nsq += mat[:, i] * mat[:, i]
+        norms = np.sqrt(nsq)
+
+        def round9(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+            )
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype="int64")
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            # dim-ordered accumulate, vectorized across ALL (row, corpus)
+            # pairs at once: per element this is the exact float
+            # sequence of a sequential dot
+            acc = np.zeros((n, len(ids)))
+            for i in range(ndim):
+                acc += X[:, i][:, None] * mat[:, i][None, :]
+            xsq = np.zeros(n)
+            for i in range(ndim):
+                xsq += X[:, i] * X[:, i]
+            cos = acc / (np.sqrt(xsq)[:, None] * norms[None, :])
+            # pairs (a, b) with a < b; wide pre-cut then exact HALF_UP
+            # re-round on the survivors
+            mask = (ids[None, :] > vids[:, None]) & (cos >= 0.4 - 1e-8)
+            ra, cb = np.nonzero(mask)
+            out_a, out_b, out_c = [], [], []
+            for r, c in zip(ra, cb):
+                v = round9(cos[r, c])
+                if v >= 0.4:
+                    out_a.append(int(vids[r]))
+                    out_b.append(int(ids[c]))
+                    out_c.append(v)
+            yield pd.DataFrame(
+                {"vec_a": pd.Series(out_a, dtype="int64"),
+                 "vec_b": pd.Series(out_b, dtype="int64"),
+                 "cosine": pd.Series(out_c, dtype="float64")}
+            )
+
+    return e.mapInPandas(
+        pairs, schema="vec_a long, vec_b long, cosine double"
     )
 
 

@@ -157,10 +157,35 @@ def table_frame(parsed: DataFrame, table_key: str) -> DataFrame:
     """Project one table's rows out of the generic parsed scan and apply
     the reference's cleaning + type inference."""
     sub = parsed.filter(F.col("table_key") == table_key)
-    first = sub.select("headers").first()
-    if first is None:
+    # ONE sample job covers both header discovery and type inference
+    # (was first() + a second limit().collect() — at 2 tables x 2
+    # ingest calls the extra job round-trips dominate small batches)
+    sample = sub.select("headers", "fields").limit(INFERENCE_SAMPLE_ROWS).collect()
+    if not sample:
         raise KeyError(f"no rows for table {table_key!r}")
-    headers = list(first[0])
+    headers = list(sample[0]["headers"])
+
+    def _clean_py(v):
+        # python twin of clean_str + empty-string→null, for inference
+        # over the collected sample only (the data path cleans in Spark)
+        if v is None:
+            return None
+        v = v.strip()
+        if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+            v = v[1:-1]
+        return v or None
+
+    samples: dict[str, str | None] = {}
+    for i, h in enumerate(headers):
+        samples[h] = next(
+            (
+                _clean_py(r["fields"][i])
+                for r in sample
+                if i < len(r["fields"]) and _clean_py(r["fields"][i]) is not None
+            ),
+            None,
+        )
+    plan = infer_types(samples)
 
     raw = sub.select(
         "src_file",
@@ -171,12 +196,6 @@ def table_frame(parsed: DataFrame, table_key: str) -> DataFrame:
         "src_file",
         *[F.when(F.col(h) == "", None).otherwise(F.col(h)).alias(h) for h in headers],
     )
-
-    sample = raw.limit(INFERENCE_SAMPLE_ROWS).collect()
-    samples: dict[str, str | None] = {}
-    for h in headers:
-        samples[h] = next((r[h] for r in sample if r[h] is not None), None)
-    plan = infer_types(samples)
 
     cols = []
     for h in headers:
