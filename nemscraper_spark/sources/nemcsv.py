@@ -153,14 +153,17 @@ def infer_types(samples: dict[str, str | None]) -> dict[str, str]:
     return plan
 
 
-def table_frame(parsed: DataFrame, table_key: str) -> DataFrame:
+def table_frame(parsed: DataFrame, table_key: str, sample=None) -> DataFrame:
     """Project one table's rows out of the generic parsed scan and apply
     the reference's cleaning + type inference."""
     sub = parsed.filter(F.col("table_key") == table_key)
     # ONE sample job covers both header discovery and type inference
     # (was first() + a second limit().collect() — at 2 tables x 2
-    # ingest calls the extra job round-trips dominate small batches)
-    sample = sub.select("headers", "fields").limit(INFERENCE_SAMPLE_ROWS).collect()
+    # ingest calls the extra job round-trips dominate small batches);
+    # ingest() pre-collects samples for ALL tables in a single job and
+    # passes them in
+    if sample is None:
+        sample = sub.select("headers", "fields").limit(INFERENCE_SAMPLE_ROWS).collect()
     if not sample:
         raise KeyError(f"no rows for table {table_key!r}")
     headers = list(sample[0]["headers"])
@@ -225,12 +228,28 @@ def ingest(
     Returns {table_key: row_count} so callers can run the conservation
     check (verify.rs:56-133: D-row count == parquet row count).
     """
+    from pyspark.sql import Window
+
     parsed = parse_files(spark, input_path).cache()
     try:
-        tables = [r[0] for r in parsed.select("table_key").distinct().collect()]
+        # ONE job discovers the table list AND collects each table's
+        # inference sample (first N parsed rows per table)
+        w = Window.partitionBy("table_key").orderBy(
+            F.monotonically_increasing_id()
+        )
+        sample_rows = (
+            parsed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= INFERENCE_SAMPLE_ROWS)
+            .select("table_key", "headers", "fields")
+            .collect()
+        )
+        samples_by_table: dict[str, list] = {}
+        for r in sample_rows:
+            samples_by_table.setdefault(r["table_key"], []).append(r)
+
         written: dict[str, int] = {}
-        for key in sorted(tables):
-            df = table_frame(parsed, key)
+        for key in sorted(samples_by_table):
+            df = table_frame(parsed, key, sample=samples_by_table[key])
             out = df.withColumn("date", date_from_filename(F.col("src_file"))).drop(
                 "src_file"
             )
@@ -238,7 +257,23 @@ def ingest(
             out.write.mode("append").partitionBy("date").option(
                 "compression", compression
             ).parquet(path)
-            written[key] = spark.read.parquet(path).count()
+            # conservation count from the written footers (metadata
+            # only — no extra scan job; verify.rs:56-133 semantics)
+            written[key] = _parquet_rows(path)
         return written
     finally:
         parsed.unpersist()
+
+
+def _parquet_rows(table_root: str) -> int:
+    """Total rows under a table dir from parquet footers (no Spark job)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(
+            os.path.join(table_root, "**", "*.parquet"), recursive=True
+        )
+    )
