@@ -75,7 +75,7 @@ def nem_compaction_roundtrip(spark, sf_dir):
         zf.writestr("PUBLIC_DISPATCHIS_202207201800.CSV", _NEM_CSV)
 
     from nemscraper_spark.plans.compact import compact_table
-    from nemscraper_spark.sources.nemcsv import ingest
+    from nemscraper_spark.sources.nemcsv import _parquet_rows, ingest
 
     ingest(spark, landing, out)
     ingest(spark, landing, out)  # second append → >1 file per partition
@@ -84,7 +84,9 @@ def nem_compaction_roundtrip(spark, sf_dir):
         root = os.path.join(out, key)
         compact_table(spark, root)
         files = _glob.glob(os.path.join(root, "date=*", "*.parquet"))
-        results.append((key, spark.read.parquet(root).count(), 2 * d, len(files)))
+        # conservation from the compacted footers — the reference's
+        # verify reads metadata, not data (verify.rs:56-133)
+        results.append((key, _parquet_rows(root), 2 * d, len(files)))
     return spark.createDataFrame(
         results, "table_key string, rows long, expected_rows long, files_after int"
     )

@@ -149,6 +149,10 @@ def minhash_lsh_pairs(spark, sf_dir):
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
     n_perm, band_size = 16, 4
+    # NOTE: deliberately NOT persisted — the explode pipelines into the
+    # partial min-agg / count-agg under whole-stage codegen; caching the
+    # exploded index costs columnar serialization and a pipeline barrier
+    # that measured slower than recomputing it per branch.
     sh = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
@@ -201,12 +205,17 @@ def minhash_lsh_pairs(spark, sf_dir):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    # join the self-intersection on a 64-bit shingle hash, not the raw
+    # string — same partitioning semantics, ~10x fewer shuffle bytes on
+    # long shingles at scale (collision odds ~ pairs x 2^-64)
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.xxhash64("shingle").alias("sh64")
+    )
     cnt = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "sh64")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "sh64")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh64")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -462,8 +471,17 @@ def ann_ivf_cosine(spark, sf_dir):
     set shrinks by ~nprobe/k vs brute force, and k scales to 2^16 with
     the same plan shape.
     """
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    # Iterative refinement re-reads the corpus once per Lloyd round +
+    # once for the final assignment: persist the fanned-out projection
+    # so rounds 2..n and the assign pass skip the scan+exchange (the
+    # MLlib k-means pattern — norms/input cached across iterations; at
+    # 100TB this is MEMORY_AND_DISK on the executors, never the driver).
+    from pyspark import StorageLevel
+
+    e = (
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     k = 8
