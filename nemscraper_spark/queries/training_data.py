@@ -205,28 +205,27 @@ def minhash_lsh_pairs(spark, sf_dir):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # join the self-intersection on a 64-bit shingle hash, not the raw
-    # string — same partitioning semantics, ~10x fewer shuffle bytes on
-    # long shingles at scale (collision odds ~ pairs x 2^-64)
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi").select(
-        "doc_id", F.xxhash64("shingle").alias("sh64")
+    # pair-local exact verify: aggregate each candidate doc's shingles
+    # into a 64-bit-hash set, join each candidate PAIR to its two sets,
+    # and intersect inside the row. Unlike a shingle self-join this
+    # never materializes (doc_a, doc_b, shingle) rows — a hot shingle
+    # shared by m candidate docs costs m set entries, not m^2 join rows
+    # — and the per-pair work is an O(|a|+|b|) hash intersect under
+    # codegen. AQE broadcasts the set table when candidates are few;
+    # at scale it stays a shuffle join keyed by doc id (no skew: doc
+    # ids are unique on the build side).
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("ss"))
     )
-    cnt = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh_c.select(F.col("doc_id").alias("doc_a"), "sh64")
-    b = sh_c.select(F.col("doc_id").alias("doc_b"), "sh64")
-    inter = (
-        a.join(b, "sh64")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    jac = n_common.cast("double") / (F.size("sa") + F.size("sb") - n_common)
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), "doc_a")
-        .join(F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
