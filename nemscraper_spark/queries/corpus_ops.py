@@ -1,0 +1,271 @@
+"""Corpus-preparation operators: dup-group clustering, deterministic
+train/test splits, vocabulary statistics, TF-IDF term extraction.
+
+These extend the training-data surface (dedup/similarity/text analysis in
+`training_data.py`) with the remaining steps a large-scale LLM data
+pipeline runs between "near-dup pairs found" and "training shards
+written":
+
+  * pair lists -> duplicate GROUPS (connected components — you can't
+    keep-one-per-group without the transitive closure);
+  * reproducible train/val/test assignment (content-hash bucketing, so
+    the split is stable across runs, machines, and engine versions);
+  * corpus vocabulary / token frequency profiles (tokenizer planning,
+    contamination scans);
+  * per-document salient terms via TF-IDF (quality filtering features).
+
+Cross-engine determinism notes: md5 is the only hash (identical in Spark
+and DuckDB); TF-IDF uses the LINEAR idf variant ``tf * (N / df)`` —
+products/quotients of small integers are correctly-rounded IEEE doubles,
+bit-identical in both engines, unlike ``ln`` whose libm implementations
+may differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nemscraper_spark.operators.components import connected_components
+from nemscraper_spark.queries.common import fan_out, load_table, register
+
+# word-3-gram shingle set per document — shared by the dup-group edge
+# builder; mirrors training_data.ngram_jaccard_pairs (reference-free op;
+# pair-gen parity with that query is pinned in tests)
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+"""
+
+
+def _shingles(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS ({_SHINGLE_SQL}),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e0 AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM e0
+          UNION ALL SELECT doc_b, doc_a FROM e0),
+    reach(n, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+    FROM comp
+    """,
+    tags=("dedup", "components"),
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup pairs -> duplicate GROUPS via connected components.
+
+    Edges are word-3-gram Jaccard >= 0.5 pairs (the inverted-index
+    equi-join, as ngram_jaccard_pairs); closure runs the alternating
+    large-star/small-star contraction (operators/components.py) — O(log
+    n) shuffle rounds regardless of chain length, vs diameter rounds
+    for naive label propagation. Output: every clustered doc with its
+    component id (= min doc_id reachable) and group size. The oracle
+    computes the same closure as a recursive CTE — feasible for DuckDB
+    at test scale, which is exactly why Spark gets the star algorithm
+    instead.
+    """
+    sh = _shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    edges = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(w).alias("n_members"),
+    )
+
+
+@register(
+    "train_test_split_hash",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CASE WHEN bucket < 204 THEN 'train'
+                  WHEN bucket < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS DOUBLE) AS share
+    FROM s GROUP BY source, split
+    """,
+    tags=("split",),
+)
+def train_test_split_hash(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test assignment by content hash.
+
+    bucket = first two hex digits of md5(doc_id) -> 0..255; split
+    boundaries at 204/230. Hash-based assignment is the standard
+    reproducible-split technique: stable under re-runs, re-partitioning,
+    engine versions, and corpus growth (a doc's split never changes when
+    other docs arrive — unlike randomSplit/rand(seed), whose assignment
+    depends on partitioning). Pure column algebra; aggregates per
+    (source, split) with a windowed share-of-source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hexpos = lambda i: (  # noqa: E731
+        F.expr(f"locate(substring(md5(CAST(doc_id AS STRING)), {i}, 1), '0123456789abcdef')")
+        - 1
+    )
+    bucket = hexpos(1) * 16 + hexpos(2)
+    split = (
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    w = Window.partitionBy("source")
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "share",
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"),
+        )
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    SELECT token, n, rank FROM (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS INT) AS rank
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ) WHERE rank <= 50
+    """,
+    tags=("text", "vocab"),
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by frequency (tokenizer planning
+    / contamination scans). explode -> partial-aggregated groupBy ->
+    TakeOrderedAndProject(50) — the global sort only ever sees the
+    survivor set, never the vocabulary, so the plan is safe at any
+    corpus size. Ranks are assigned AFTER the top-k cut (window over 50
+    rows, not over the vocab)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return c.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY token),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df_docs, score, rk FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfc.df_docs,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(nd.n_docs AS DOUBLE) / CAST(dfc.df_docs AS DOUBLE)) AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE)
+                 * (CAST(nd.n_docs AS DOUBLE) / CAST(dfc.df_docs AS DOUBLE)) DESC,
+               tf.token) AS INT) AS rk
+      FROM tf JOIN dfc USING (token) CROSS JOIN nd
+    ) WHERE rk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per document by TF-IDF (linear idf = N/df —
+    see module docstring for why not ln). tf and df come from ONE
+    exploded-token aggregation each; N enters as a broadcast 1-row
+    cross join (no driver collect, fully declarative); df joins back by
+    token (broadcast — vocabulary << corpus). Ties break by token so
+    row_number is deterministic."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        F.col("n_docs").cast("double") / F.col("df_docs").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        tf.join(F.broadcast(dfc), "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", score)
+        .select("doc_id", "token", "tf", "df_docs", "score")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )

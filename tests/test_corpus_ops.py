@@ -1,0 +1,110 @@
+"""Unit pins for the corpus-prep ops: the connected-components operator
+on known graphs (including the long-chain case that breaks naive label
+propagation), and invariants the SQL oracles don't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.operators.components import connected_components
+from nemscraper_spark.queries import REGISTRY
+
+
+def _labels(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+def test_components_basic(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3), (7, 7)], "u long, v long"
+    )
+    got = _labels(connected_components(e))
+    # self-loop (7,7) is dropped — 7 never appears in a real edge
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_components_long_chain(spark):
+    """A 60-hop chain converges to one component well inside max_rounds
+    — the O(log n) property of alternating star contraction (naive
+    propagation would need 60 rounds)."""
+    n = 60
+    e = spark.createDataFrame([(i, i + 1) for i in range(n)], "u long, v long")
+    got = _labels(connected_components(e, max_rounds=10))
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_components_duplicate_and_reversed_edges(spark):
+    e = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 1), (3, 4)], "u long, v long"
+    )
+    got = _labels(connected_components(e))
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_cluster_components_match_pair_graph(spark, sf_dir):
+    """Every doc in a >=0.5-Jaccard pair lands in a component with its
+    partner; component id is the min doc_id of the group."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    comp = {
+        r.doc_id: r.component
+        for r in REGISTRY["dedup_cluster_components"].fn(spark, sf_dir).collect()
+    }
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    assert all(c <= d for d, c in comp.items())
+
+
+def test_split_shares_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["train_test_split_hash"].fn(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, 0.0)
+        by_source[r.source] += r.share
+        assert r.split in ("train", "val", "test")
+    for s, tot in by_source.items():
+        assert abs(tot - 1.0) < 1e-9, f"{s}: shares sum to {tot}"
+
+
+def test_split_is_stable_under_repartition(spark, sf_dir):
+    """The hash split must not depend on physical layout."""
+    a = {
+        (r.source, r.split): r.n_docs
+        for r in REGISTRY["train_test_split_hash"].fn(spark, sf_dir).collect()
+    }
+    from nemscraper_spark.queries.common import load_table
+
+    # same logic, deliberately different partitioning
+    d = load_table(spark, sf_dir, "documents").repartition(7, "doc_id")
+    hexpos = lambda i: (  # noqa: E731
+        F.expr(
+            f"locate(substring(md5(CAST(doc_id AS STRING)), {i}, 1),"
+            " '0123456789abcdef')"
+        )
+        - 1
+    )
+    bucket = hexpos(1) * 16 + hexpos(2)
+    split = F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    b = {
+        (r.source, r.split): r.n
+        for r in d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_tfidf_rank_is_dense_per_doc(spark, sf_dir):
+    rows = REGISTRY["tfidf_top_terms"].fn(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.rk)
+    for doc, rks in per_doc.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3

@@ -106,3 +106,20 @@ def test_corpus_pipeline_minimal_shuffles(spark, sf_dir):
     p = plan(REGISTRY["training_corpus_pipeline"].fn(spark, sf_dir))
     assert "Join" not in p
     assert p.count("Exchange") <= 4
+
+
+def test_vocab_topk_avoids_global_vocab_sort(spark, sf_dir):
+    """The top-50 cut must be TakeOrderedAndProject (per-partition heap
+    + driver merge) — never a full vocabulary sort; the rank window may
+    only run on the 50 survivors."""
+    p = plan(REGISTRY["vocab_top_tokens"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tfidf_df_join_broadcasts(spark, sf_dir):
+    """df(token) and the 1-row N both broadcast — the tf side (corpus-
+    sized) must never shuffle for these joins."""
+    p = plan(REGISTRY["tfidf_top_terms"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row N cross join
+    assert "SortMergeJoin" not in p
