@@ -95,6 +95,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def fan_out_sized(df: DataFrame, n_rows: int, rows_per_task: int = 1000) -> DataFrame:
+    """fan_out with width proportional to the row count.
+
+    For Arrow/Pandas-UDF stages the per-task cost floor (python worker
+    handshake + Arrow batch framing) is milliseconds — fanning 2k rows
+    out to 32 partitions costs more in task overhead than the kernel
+    computes. Width = ceil(n_rows / rows_per_task), capped at default
+    parallelism; n_rows comes from parquet FOOTERS (driver-side
+    metadata, no scan — the same stats AQE uses). On a real cluster the
+    input already has >= width splits and this no-ops, exactly like
+    fan_out.
+    """
+    target = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        max(2, -(-n_rows // rows_per_task)),
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def flat_dot(x, y, dim: int):
     """Dot product as a flat left-associated codegen expression.
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from nemscraper_spark.queries.common import (
     fan_out,
+    fan_out_sized,
     load_table,
     pairwise_cosine9,
     register,
@@ -303,6 +304,19 @@ def simhash_fingerprint(spark, sf_dir):
 # ----------------------------------------------------------- similarity --
 
 
+def _emb_sized(spark, sf_dir):
+    """embeddings scan with partition width tracking the footer row
+    count (fan_out_sized): the numpy kernels downstream pay a per-task
+    Arrow/python floor, so a tiny local corpus must not fan to 32
+    partitions. No-op once the input has enough natural splits."""
+    from nemscraper_spark.sources.inspect import footer_row_count
+
+    import os as _os
+
+    n = footer_row_count(_os.path.join(sf_dir, "embeddings.parquet"))
+    return fan_out_sized(load_table(spark, sf_dir, "embeddings"), n)
+
+
 _COS_SQL = """
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROUND(list_dot_product(q.e, c.e)
@@ -332,7 +346,7 @@ def cosine_topk_bruteforce(spark, sf_dir):
     match the oracle bit-for-bit; rounded to 9dp before ranking)."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _emb_sized(spark, sf_dir).select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
     )
 
@@ -379,7 +393,7 @@ def ann_lsh_cosine(spark, sf_dir):
     from pyspark.sql import Window
 
     NBITS = 4
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    e = _emb_sized(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     # hyperplane sign for (plane p, dim d): parity of the CHARACTER
@@ -482,7 +496,7 @@ def ann_ivf_cosine(spark, sf_dir):
     from pyspark import StorageLevel
 
     e = (
-        fan_out(load_table(spark, sf_dir, "embeddings"))
+        _emb_sized(spark, sf_dir)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -838,7 +852,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     (ann_lsh_cosine's buckets) instead of the whole corpus —
     candidates-then-verify with the same kernel.
     """
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    e = _emb_sized(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     rows = sorted(
