@@ -16,6 +16,7 @@ from nemscraper_spark.operators.ewma import ewma
 from nemscraper_spark.queries.common import (
     dec_avg,
     dec_sum,
+    fan_out,
     load_table,
     oracle_dec_avg,
     oracle_dec_sum,
@@ -248,4 +249,110 @@ def ewma_per_entity(spark, sf_dir):
         alpha=2.0 / 9.0,
         negate=True,
         out_col="ewma_value",
+    )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS reached_stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("funnel", "W-beyond"),
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered-event funnel (view -> click -> purchase): per user, the
+    first view, the first click AFTER that view, the first purchase
+    AFTER that click, and the furthest stage reached — the product-
+    analytics sequence-match pattern.
+
+    Three conditional min-aggregations chained by user_id equi-joins:
+    every stage is a partial-aggregated groupBy on the same key, so the
+    shuffles co-partition and AQE reuses the exchange; stage tables
+    shrink monotonically (funnel!) and broadcast below the threshold.
+    No window over full event history — state per user is one
+    timestamp per stage, not the event list."""
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("reached_stage"),
+        )
+    )
+
+
+@register(
+    "exact_quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("A-quantile",),
+)
+def exact_quantiles_by_type(spark, sf_dir):
+    """EXACT grouped quantiles (p25/median/p75) — the precise
+    counterpart of approx_sketches' percentile_approx. Spark's
+    percentile() and DuckDB's quantile_cont share the same linear-
+    interpolation formula on the sorted group, so the doubles are
+    bit-identical (verified, no rounding needed). Exact quantiles sort
+    per group — fine for bounded group counts like event types; the
+    sketch variant is the path for high-cardinality keys."""
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.count("*").alias("n"),
     )
