@@ -108,3 +108,60 @@ def test_tfidf_rank_is_dense_per_doc(spark, sf_dir):
     for doc, rks in per_doc.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 3
+
+
+# ---------------------------------------------------------- property --
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    return {n: find(n) for n in nodes}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_components_match_union_find(spark, edges):
+    """Alternating-star CC agrees with a sequential union-find (with
+    min-id canonical labels) on arbitrary graphs — cycles, self-loops,
+    duplicates, disconnected singleton edges."""
+    expected = _union_find(edges)
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = _labels(connected_components(e))
+    # union-find labels are root ids; canonicalize both to min-of-component
+    def canon(lab):
+        comp = {}
+        for n, c in lab.items():
+            comp.setdefault(c, []).append(n)
+        return {n: min(members) for c, members in comp.items() for n in members}
+
+    assert canon(got) == canon(expected)
