@@ -121,11 +121,21 @@ def sql_dashboard_totals(spark, sf_dir):
     )
 
 
-@register("catalog_external_table", oracle=None, tags=("S16",))
+@register(
+    "catalog_external_table",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("S16",),
+)
 def catalog_external_table(spark, sf_dir):
     """S16 external-table registration (load_bigquery.rs:62-79's
     CREATE EXTERNAL TABLE ... OPTIONS(format='PARQUET')): register the
-    parquet location in the session catalog and query it by name."""
+    parquet location in the session catalog and query it by name. The
+    DDL itself has no DuckDB twin, but the query THROUGH the catalog
+    does — so the oracle checks the registered table serves the same
+    rows as a direct scan."""
     spark.sql("DROP TABLE IF EXISTS nemext_lineitem")
     spark.sql(
         f"""
