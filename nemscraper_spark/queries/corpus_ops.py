@@ -276,3 +276,240 @@ def tfidf_top_terms(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+# first-two-hex-digit md5 bucket (0..255) — the split key shared by
+# train_test_split_hash, decontaminate_train_ngrams, and the oracles
+def _md5_bucket():
+    hexpos = lambda i: (  # noqa: E731
+        F.expr(
+            f"locate(substring(md5(CAST(doc_id AS STRING)), {i}, 1),"
+            " '0123456789abcdef')"
+        )
+        - 1
+    )
+    return hexpos(1) * 16 + hexpos(2)
+
+
+_BUCKET_SQL = """
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+"""
+
+
+@register(
+    "decontaminate_train_ngrams",
+    oracle=f"""
+    WITH b AS ({_BUCKET_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS ngram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    test_sh AS (
+      SELECT DISTINCT ngram FROM sh JOIN b USING (doc_id) WHERE bucket >= 230
+    )
+    SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM sh JOIN b USING (doc_id) JOIN test_sh USING (ngram)
+    WHERE b.bucket < 204
+    GROUP BY sh.doc_id
+    """,
+    tags=("decontaminate",),
+)
+def decontaminate_train_ngrams(spark, sf_dir):
+    """Train/eval decontamination: flag TRAIN-split documents that share
+    any word-4-gram with a TEST-split document (the GPT-3-style n-gram
+    overlap scan, scaled down from 13-grams to match this corpus's
+    ~54-token docs). Both sides reuse the md5-bucket split from
+    train_test_split_hash, so the scan needs no side-channel eval file.
+    The distinct test-side n-gram set is small (eval sets always are)
+    and enters as a broadcast hash join on xxhash64(ngram) — 8-byte
+    keys, no string shuffle, train side never moves. Output: each
+    contaminated train doc with its count of distinct overlapping
+    4-grams."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            _md5_bucket().alias("bucket"),
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 4),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))"
+                )
+            ).alias("ngram"),
+        )
+        .withColumn("h", F.xxhash64("ngram"))
+    )
+    test_sh = sh.filter(F.col("bucket") >= 230).select("h").distinct()
+    return (
+        sh.filter(F.col("bucket") < 204)
+        .join(F.broadcast(test_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               - n_tokens AS start_tok
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           start_tok // 256 AS seq_id,
+           start_tok % 256 AS tok_offset
+    FROM c
+    """,
+    tags=("packing",),
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: the GPT-style training layout
+    where per-shard document streams are concatenated and cut into
+    fixed 256-token sequences. Each doc gets the sequence id and token
+    offset where it starts: a running token count over docs in
+    deterministic md5 order WITHIN each source shard. Partitioning the
+    window by source is what makes this scale — shards pack
+    independently and in parallel, and no global (single-partition)
+    prefix sum ever exists in the plan."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return t.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("start_tok DIV 256").alias("seq_id"),
+        (F.col("start_tok") % 256).alias("tok_offset"),
+    )
+
+
+@register(
+    "doc_repetition_score",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(1.0 AS DOUBLE)
+             - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+    FROM c GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def doc_repetition_score(spark, sf_dir):
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of a doc's word-bigram occurrences that are repeats of an
+    earlier bigram in the same doc (1 - distinct/total). Template spam
+    and boilerplate score high; natural text scores low. One explode +
+    two-level aggregation, all partial-aggregated map-side; the ratio
+    is a division of small exact integers so it is bit-identical across
+    engines."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    g = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        (
+            F.lit(1.0).cast("double")
+            - F.count("*").cast("double") / F.sum("c").cast("double")
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "sample_uniform_hash",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 2
+    """,
+    tags=("sample",),
+)
+def sample_uniform_hash(spark, sf_dir):
+    """Deterministic ~12.5% uniform sample: keep rows whose md5 bucket
+    falls under the threshold. Unlike df.sample()/TABLESAMPLE the
+    membership is a pure function of the row — reproducible across
+    runs, engines, partitionings, and corpus growth, and the filter
+    pushes down to the scan like any other predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        F.expr(
+            "locate(substring(md5(CAST(doc_id AS STRING)), 1, 1),"
+            " '0123456789abcdef')"
+        )
+        <= 2
+    )
+    return d.filter(keep).select("doc_id", "source")
+
+
+@register(
+    "sample_stratified_topn",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+    tags=("sample",),
+)
+def sample_stratified_topn(spark, sf_dir):
+    """Exact-N-per-stratum sample: 10 docs per source, chosen by md5
+    order — a deterministic stand-in for per-key reservoir sampling
+    (same guarantee: every stratum yields exactly min(N, |stratum|)
+    rows, selection independent of physical order). One shuffle on
+    source; rank-k selection per group, never a global sort."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+    )

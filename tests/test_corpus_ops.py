@@ -110,6 +110,81 @@ def test_tfidf_rank_is_dense_per_doc(spark, sf_dir):
         assert len(rks) <= 3
 
 
+def _docs_tokens(spark, sf_dir):
+    from nemscraper_spark.queries.common import load_table
+
+    return {
+        r.doc_id: (r.source, r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+
+def _bucket(doc_id):
+    import hashlib
+
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return int(h[0], 16) * 16 + int(h[1], 16)
+
+
+def test_decontaminate_flags_exactly_overlapping_train_docs(spark, sf_dir):
+    """Recompute the 4-gram overlap scan sequentially: the flagged set
+    and per-doc hit counts must match exactly."""
+    docs = _docs_tokens(spark, sf_dir)
+
+    def grams(ws, n=4):
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    test_g = set()
+    for d, (_, ws) in docs.items():
+        if _bucket(d) >= 230:
+            test_g |= grams(ws)
+    expected = {}
+    for d, (_, ws) in docs.items():
+        if _bucket(d) < 204:
+            hits = len(grams(ws) & test_g)
+            if hits:
+                expected[d] = hits
+    got = {
+        r.doc_id: r.n_hits
+        for r in REGISTRY["decontaminate_train_ngrams"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture produced no contamination — test is vacuous"
+
+
+def test_sequence_packing_is_a_per_source_prefix_sum(spark, sf_dir):
+    """start positions reconstruct the md5-ordered concatenation of each
+    source shard: contiguous, gap-free, offset < seqlen."""
+    import hashlib
+
+    rows = REGISTRY["sequence_packing"].fn(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        assert 0 <= r.tok_offset < 256
+        by_source.setdefault(r.source, []).append(r)
+    docs = _docs_tokens(spark, sf_dir)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+        cum = 0
+        for r in rs:
+            assert r.seq_id * 256 + r.tok_offset == cum, (src, r.doc_id)
+            assert r.n_tokens == len(docs[r.doc_id][1])
+            cum += r.n_tokens
+
+
+def test_repetition_score_bounds_and_bigram_conservation(spark, sf_dir):
+    docs = _docs_tokens(spark, sf_dir)
+    rows = REGISTRY["doc_repetition_score"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        seen.add(r.doc_id)
+        assert r.n_bigrams == len(docs[r.doc_id][1]) - 1
+        assert 1 <= r.n_distinct <= r.n_bigrams
+        assert 0.0 <= r.rep_ratio < 1.0
+        assert abs(r.rep_ratio - (1.0 - r.n_distinct / r.n_bigrams)) < 1e-12
+    assert seen == {d for d, (_, ws) in docs.items() if len(ws) >= 2}
+
+
 # ---------------------------------------------------------- property --
 
 from hypothesis import HealthCheck, given, settings
