@@ -513,3 +513,132 @@ def sample_stratified_topn(spark, sf_dir):
         d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 10)
     )
+
+
+# ------------------------------------------------------- mixture ops --
+
+_DENY_RE = r"\b(slow|big)\b"
+
+# numeric suffix of the source shard name ("src12" -> 12) — the join key
+# for the deterministic per-source mixture weights used by the two
+# mixture queries and their oracles
+_SRC_IDX_SQL = "CAST(substr(source, 4) AS INT)"
+
+
+@register(
+    "redact_denylist_terms",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_DENY_RE}', '[REDACTED]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_DENY_RE}')) AS BIGINT)
+             AS n_redacted
+    FROM documents
+    WHERE regexp_matches(text, '{_DENY_RE}')
+    """,
+    tags=("redact", "text"),
+)
+def redact_denylist_terms(spark, sf_dir):
+    """Denylist scrubbing — the PII-redaction plumbing (emails, phone
+    numbers, IPs) exercised with terms that actually occur in this
+    corpus. One JVM-side regexp pass per row: match filter (pushable
+    predicate), replace-all, and a per-doc redaction count for the
+    audit ledger. No shuffle at any scale — a pure projection+filter
+    that pipelines inside whole-stage codegen; swapping the pattern for
+    the usual PII alternation changes nothing structural."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        d.filter(F.col("text").rlike(_DENY_RE))
+        .select(
+            "doc_id",
+            F.regexp_replace("text", _DENY_RE, "[REDACTED]").alias("redacted"),
+            F.regexp_count("text", F.lit(_DENY_RE)).cast("long").alias("n_redacted"),
+        )
+    )
+
+
+@register(
+    "mixture_resample_weighted",
+    oracle=f"""
+    WITH b AS ({_BUCKET_SQL})
+    SELECT d.doc_id, d.source,
+           CAST(({_SRC_IDX_SQL} % 4) + 1 AS DOUBLE) / 4.0 AS keep_rate
+    FROM documents d JOIN b USING (doc_id)
+    WHERE b.bucket < 64 * (({_SRC_IDX_SQL} % 4) + 1)
+    """,
+    tags=("mixture", "sample"),
+)
+def mixture_resample_weighted(spark, sf_dir):
+    """Per-source mixture downsampling: each source shard keeps a
+    deterministic hash fraction of its documents (rates 25/50/75/100%
+    derived from the shard id). This is the dataset-mixture step of a
+    training pipeline — reweighting CommonCrawl vs books vs code —
+    done as a pure row-local filter: membership is a function of
+    (doc_id, source) only, so the sample is reproducible across runs,
+    engines, partitionings and corpus growth, and the predicate
+    pipelines into the scan with no shuffle and no per-source pass."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = F.substring(F.col("source"), 4, 8).cast("int")
+    r = (idx % 4) + 1
+    return (
+        d.select("doc_id", "source", _md5_bucket().alias("bucket"), r.alias("r"))
+        .filter(F.col("bucket") < 64 * F.col("r"))
+        .select(
+            "doc_id", "source", (F.col("r").cast("double") / 4.0).alias("keep_rate")
+        )
+    )
+
+
+@register(
+    "mixture_upsample_epochs",
+    oracle=f"""
+    WITH b AS ({_BUCKET_SQL}),
+    w AS (
+      SELECT DISTINCT source,
+             1 + ({_SRC_IDX_SQL} % 5) // 2 AS base,
+             ({_SRC_IDX_SQL} % 5) % 2 AS has_half
+      FROM documents
+    )
+    SELECT d.doc_id, d.source, CAST(t.epoch AS BIGINT) AS epoch
+    FROM documents d
+    JOIN b USING (doc_id)
+    JOIN w USING (source),
+    UNNEST(generate_series(0, w.base - 1
+           + CASE WHEN w.has_half = 1 AND b.bucket < 128 THEN 1 ELSE 0 END))
+      AS t(epoch)
+    """,
+    tags=("mixture", "sample"),
+)
+def mixture_upsample_epochs(spark, sf_dir):
+    """Fractional-epoch upsampling: sources with mixture weight > 1 are
+    repeated — weight 2.5 means every doc appears twice and a
+    deterministic hash-half appears a third time (how training mixes
+    repeat Wikipedia 3.5x against 1x CommonCrawl). Weights live in a
+    tiny per-source table (here derived from the shard id; in
+    production a config table) that enters as a BROADCAST join — the
+    corpus side never shuffles — and the repetition is a row-local
+    explode(sequence(0, copies-1)), so output size is exactly
+    sum(copies) with no skew amplification beyond the weights
+    themselves."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    idx = F.substring(F.col("source"), 4, 8).cast("int")
+    m5 = idx % 5
+    w = (
+        d.select("source").distinct()
+        .select(
+            "source",
+            (F.lit(1) + F.floor(m5 / 2)).cast("int").alias("base"),
+            (m5 % 2).alias("has_half"),
+        )
+    )
+    copies = F.col("base") + F.when(
+        (F.col("has_half") == 1) & (_md5_bucket() < 128), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(w), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), copies - 1)).alias("epoch"),
+        )
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+    )

@@ -240,3 +240,47 @@ def test_components_match_union_find(spark, edges):
         return {n: min(members) for c, members in comp.items() for n in members}
 
     assert canon(got) == canon(expected)
+
+
+def test_redaction_counts_and_no_surviving_terms(spark, sf_dir):
+    docs = _docs_tokens(spark, sf_dir)
+    rows = REGISTRY["redact_denylist_terms"].fn(spark, sf_dir).collect()
+    deny = {"slow", "big"}
+    expected = {
+        d: sum(1 for t in ws if t in deny)
+        for d, (_, ws) in docs.items()
+        if any(t in deny for t in ws)
+    }
+    assert {r.doc_id: r.n_redacted for r in rows} == expected
+    for r in rows:
+        toks = r.redacted.split(" ")
+        assert not (set(toks) & deny)
+        assert toks.count("[REDACTED]") == r.n_redacted
+
+
+def test_mixture_resample_is_deterministic_hash_membership(spark, sf_dir):
+    docs = _docs_tokens(spark, sf_dir)
+    got = {
+        r.doc_id: r.keep_rate
+        for r in REGISTRY["mixture_resample_weighted"].fn(spark, sf_dir).collect()
+    }
+    expected = {}
+    for d, (src, _) in docs.items():
+        r = (int(src[3:]) % 4) + 1
+        if _bucket(d) < 64 * r:
+            expected[d] = r / 4.0
+    assert got == expected
+    assert len(set(expected.values())) > 1, "fixture exercises a single rate"
+
+
+def test_mixture_upsample_copies_match_fractional_weights(spark, sf_dir):
+    docs = _docs_tokens(spark, sf_dir)
+    rows = REGISTRY["mixture_upsample_epochs"].fn(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert set(per_doc) == set(docs)
+    for d, (src, _) in docs.items():
+        m5 = int(src[3:]) % 5
+        copies = 1 + m5 // 2 + (1 if m5 % 2 == 1 and _bucket(d) < 128 else 0)
+        assert sorted(per_doc[d]) == list(range(copies)), (d, src)
