@@ -544,8 +544,10 @@ def redact_denylist_terms(spark, sf_dir):
     predicate), replace-all, and a per-doc redaction count for the
     audit ledger. No shuffle at any scale — a pure projection+filter
     that pipelines inside whole-stage codegen; swapping the pattern for
-    the usual PII alternation changes nothing structural."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    the usual PII alternation changes nothing structural. (No fan_out
+    repartition — that would ADD the one Exchange this plan exists to
+    avoid; scan splits provide the parallelism at scale.)"""
+    d = load_table(spark, sf_dir, "documents")
     return (
         d.filter(F.col("text").rlike(_DENY_RE))
         .select(

@@ -1147,3 +1147,46 @@ def training_corpus_pipeline(spark, sf_dir):
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id, CAST(t.i - 1 AS INT) AS dim,
+           CAST(CASE WHEN amax = 0.0 THEN 0
+                     ELSE round(127 * CAST(embedding[t.i] AS DOUBLE) / amax)
+                END AS INT) AS q,
+           amax
+    FROM (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding,
+                                          x -> abs(CAST(x AS DOUBLE))))
+               AS DOUBLE) AS amax
+      FROM embeddings
+    ), UNNEST(generate_series(1, len(embedding))) AS t(i)
+    """,
+    tags=("embeddings", "quantize"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Absmax int8 quantization of the embedding column — the storage
+    step a corpus pipeline runs before shipping vectors to an ANN index
+    (4x smaller than float32, 8x than float64): q = round(127*x/amax)
+    with the per-vector scale kept alongside for dequantization.
+
+    Pure JVM codegen — abs/max/divide/round are exact-or-IEEE-identical
+    in every engine, so unlike learned quantizers this one is
+    bit-reproducible (and DuckDB-oracle-checkable) with no Python in
+    the plan. Row-local projection + posexplode: no shuffle at any
+    corpus size. Output exploded to (vec_id, dim, q, amax) so the
+    oracle compares scalar columns, not nested arrays."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    amax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))).alias("amax")
+    exploded = e.select("vec_id", amax, F.posexplode("e").alias("dim", "x"))
+    q = (
+        F.when(F.col("amax") == 0.0, F.lit(0))
+        .otherwise(F.round(F.lit(127) * F.col("x") / F.col("amax")))
+        .cast("int")
+    )
+    return exploded.select("vec_id", F.col("dim").cast("int").alias("dim"), q.alias("q"), "amax")

@@ -123,3 +123,44 @@ def test_tfidf_df_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row N cross join
     assert "SortMergeJoin" not in p
+
+
+def test_redaction_is_shuffle_free_jvm_projection(spark, sf_dir):
+    """PII-style scrub must stay inside codegen: no Python eval node, no
+    Exchange anywhere (it's a row-local filter+projection), and the scan
+    must read only the two referenced columns."""
+    p = plan(REGISTRY["redact_denylist_terms"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_mixture_resample_is_shuffle_free(spark, sf_dir):
+    """Hash-rate downsampling is a pure function of the row — any
+    Exchange in this plan is a scale regression."""
+    p = plan(REGISTRY["mixture_resample_weighted"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_mixture_upsample_broadcasts_weights(spark, sf_dir):
+    """The per-source weight table must reach the corpus via broadcast —
+    the corpus side of the join must never shuffle."""
+    p = plan(REGISTRY["mixture_upsample_epochs"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontaminate_broadcasts_test_ngrams(spark, sf_dir):
+    """The distinct test-side n-gram set is eval-set sized; it must be
+    the build side of a broadcast join so the train side never moves."""
+    p = plan(REGISTRY["decontaminate_train_ngrams"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sequence_packing_window_is_partitioned(spark, sf_dir):
+    """The packing prefix sum must be per-source — a partition-less
+    window would serialize the whole corpus through one task."""
+    p = plan(REGISTRY["sequence_packing"].fn(spark, sf_dir))
+    assert "windowspecdefinition(source" in p

@@ -58,3 +58,25 @@ def test_simhash_similar_docs_close(spark, sf_dir):
         ham(sim[a], sim[b]) for a, b in itertools.combinations(ids, 2)
     ]
     assert statistics.mean(near) < statistics.mean(background)
+
+
+def test_int8_quantization_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values must sit within half a quantization step of
+    the original: |q*amax/127 - x| <= amax/254, q in [-127, 127], and
+    amax must equal the vector's true max-abs."""
+    from nemscraper_spark.queries.common import load_table
+
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        seen.add((r.vec_id, r.dim))
+        x = orig[r.vec_id][r.dim]
+        assert -127 <= r.q <= 127
+        assert abs(r.amax - max(abs(v) for v in orig[r.vec_id])) == 0.0
+        if r.amax:
+            assert abs(r.q * r.amax / 127.0 - x) <= r.amax / 254.0 + 1e-12
+    assert len(seen) == sum(len(v) for v in orig.values())
