@@ -644,3 +644,88 @@ def mixture_upsample_epochs(spark, sf_dir):
         )
         .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
     )
+
+
+@register(
+    "dup_passage_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i - 1 AS pos,
+             w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]
+               AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 5)) AS t(i)
+      WHERE len(w) >= 6
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 6) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos + 6) AS BIGINT) AS span_end
+    FROM spans GROUP BY doc_id, span_id
+    """,
+    tags=("dedup", "spans"),
+)
+def dup_passage_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-passage detection (the Lee et al.
+    "Deduplicating Training Data" primitive, at fixed 6-token
+    granularity): every maximal token span whose 6-grams all occur >= 2
+    times in the corpus, as (doc_id, span_start, span_end) — the input
+    to span-level cut-and-drop dedup, which removes boilerplate that
+    document-level near-dup can't touch.
+
+    Dataflow: position-stamped 6-grams -> corpus-wide gram counts via
+    partial-aggregated groupBy on the 8-byte xxhash64 key (map-side
+    combine absorbs hot boilerplate grams; the equi-join back is AQE
+    skew-splittable — a count-window over gram would hotspot on them) ->
+    per-doc interval union of the surviving [pos, pos+6) hits with two
+    doc-partitioned windows (running-max end marks span starts, running
+    sum numbers them). Every shuffle is keyed by gram-hash or doc_id;
+    nothing is ever global."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    g = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 6)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 6), i ->"
+                    " concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    dup = g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    hits = g.join(dup.select("h"), "h").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    run_end = F.max(F.col("pos") + 6).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(F.col("pos") > F.coalesce(run_end, F.lit(-1)), 1).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("is_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max(F.col("pos") + 6)).cast("long").alias("span_end"),
+    )

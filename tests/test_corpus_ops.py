@@ -284,3 +284,37 @@ def test_mixture_upsample_copies_match_fractional_weights(spark, sf_dir):
         m5 = int(src[3:]) % 5
         copies = 1 + m5 // 2 + (1 if m5 % 2 == 1 and _bucket(d) < 128 else 0)
         assert sorted(per_doc[d]) == list(range(copies)), (d, src)
+
+
+def test_dup_passage_spans_match_sequential_interval_union(spark, sf_dir):
+    """Recompute ExactSubstr spans sequentially (gram counts -> hit
+    positions -> interval union) and require exact equality."""
+    docs = _docs_tokens(spark, sf_dir)
+    from collections import Counter
+
+    L = 6
+    counts = Counter()
+    for _, (_, ws) in sorted(docs.items()):
+        for i in range(len(ws) - L + 1):
+            counts[" ".join(ws[i : i + L])] += 1
+    expected = {}
+    for d, (_, ws) in docs.items():
+        hits = [
+            i
+            for i in range(len(ws) - L + 1)
+            if counts[" ".join(ws[i : i + L])] >= 2
+        ]
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + L))
+            else:
+                spans.append((p, p + L))
+        for sid, (s, e) in enumerate(spans, start=1):
+            expected[(d, sid)] = (s, e)
+    got = {
+        (r.doc_id, r.span_id): (r.span_start, r.span_end)
+        for r in REGISTRY["dup_passage_spans"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture produced no duplicated passages — vacuous"
