@@ -729,3 +729,94 @@ def dup_passage_spans(spark, sf_dir):
         F.min("pos").cast("long").alias("span_start"),
         (F.max(F.col("pos") + 6)).cast("long").alias("span_end"),
     )
+
+
+@register(
+    "dedup_cut_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok, len(w) AS n
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w))) AS t(i)
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]
+               AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 5)) AS t(i)
+      WHERE len(w) >= 6
+    ),
+    dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dupg USING (gram)),
+    m AS (
+      SELECT t.doc_id, t.pos, t.tok, t.n,
+             MAX(CASE WHEN h.pos IS NOT NULL THEN t.pos + 6 END) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS UNBOUNDED PRECEDING) AS run_end
+      FROM toks t
+      LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.pos = h.pos
+    )
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+           CAST(MAX(n) - COUNT(*) AS BIGINT) AS dropped_tokens
+    FROM m
+    WHERE run_end IS NULL OR pos >= run_end
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "spans"),
+)
+def dedup_cut_spans(spark, sf_dir):
+    """Span-level cut-and-drop dedup — APPLIES dup_passage_spans: every
+    token covered by a corpus-duplicated 6-gram window is removed and
+    the survivors are reassembled in order (Lee et al.'s ExactSubstr
+    cut, the step document-level dedup can't do). Coverage is decided
+    by one doc-partitioned running window over the token stream with
+    dup-gram start markers left-joined on — no per-token range join,
+    no quadratic containment probe. Reassembly sorts each doc's kept
+    (pos, tok) pairs inside the aggregate (array_sort of structs), so
+    the groupBy stays a plain hash agg with map-side partials on the
+    collect. Docs whose tokens are all covered drop out entirely."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    toks = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n"),
+        F.posexplode("w").alias("pos", "tok"),
+    )
+    g = (
+        base.filter(F.size("w") >= 6)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 6), i ->"
+                    " concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    dupg = g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    hits = g.join(dupg.select("h"), "h").select("doc_id", "pos", F.lit(1).alias("hit"))
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = toks.join(hits, ["doc_id", "pos"], "left").withColumn(
+        "run_end", F.max(F.when(F.col("hit") == 1, F.col("pos") + 6)).over(w_cum)
+    )
+    kept = m.filter(F.col("run_end").isNull() | (F.col("pos") >= F.col("run_end")))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("kept_tokens"),
+        (F.max("n") - F.count("*")).cast("long").alias("dropped_tokens"),
+    )

@@ -318,3 +318,31 @@ def test_dup_passage_spans_match_sequential_interval_union(spark, sf_dir):
     }
     assert got == expected
     assert expected, "fixture produced no duplicated passages — vacuous"
+
+
+def test_cut_spans_removes_exactly_covered_tokens(spark, sf_dir):
+    """Sequential recompute: tokens covered by any duplicated 6-gram
+    window are dropped, survivors keep their order; counts conserve."""
+    docs = _docs_tokens(spark, sf_dir)
+    from collections import Counter
+
+    L = 6
+    counts = Counter()
+    for _, (_, ws) in sorted(docs.items()):
+        for i in range(len(ws) - L + 1):
+            counts[" ".join(ws[i : i + L])] += 1
+    expected = {}
+    for d, (_, ws) in docs.items():
+        covered = set()
+        for i in range(len(ws) - L + 1):
+            if counts[" ".join(ws[i : i + L])] >= 2:
+                covered.update(range(i, i + L))
+        kept = [t for i, t in enumerate(ws) if i not in covered]
+        if kept:
+            expected[d] = (" ".join(kept), len(kept), len(ws) - len(kept))
+    got = {
+        r.doc_id: (r.clean_text, r.kept_tokens, r.dropped_tokens)
+        for r in REGISTRY["dedup_cut_spans"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[2] > 0 for v in expected.values()), "nothing was cut — vacuous"
