@@ -58,10 +58,42 @@ def _shingles(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_cluster_components",
-    oracle=f"""
-    WITH RECURSIVE
+def _dup_edges(spark, sf_dir):
+    """Jaccard >= 0.5 word-3-gram near-dup pairs (inverted-index
+    equi-join, as ngram_jaccard_pairs). Joins on the 8-byte shingle
+    hash, not the ~25-byte string: halves the self-join's shuffle bytes
+    (measured 2.2x at sf0.1). A cross-doc xxhash64 collision could
+    perturb a count, but at ~2^18 distinct shingles the any-collision
+    probability is ~1e-9 — far below the float-determinism tolerances
+    everywhere else."""
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+
+# recursive-CTE transitive closure over Jaccard>=0.5 3-gram edges,
+# ending in comp(doc_id, component) — shared by the two CC oracles
+_COMP_CTE = f"""
     sh AS ({_SHINGLE_SQL}),
     cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -83,6 +115,14 @@ def _shingles(spark, sf_dir):
       SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
     ),
     comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n)
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_COMP_CTE}
     SELECT doc_id, component,
            CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
     FROM comp
@@ -102,35 +142,7 @@ def dedup_cluster_components(spark, sf_dir):
     at test scale, which is exactly why Spark gets the star algorithm
     instead.
     """
-    # join on the 8-byte shingle hash, not the ~25-byte string: halves
-    # the self-join's shuffle bytes (measured 2.2x at sf0.1). A cross-
-    # doc xxhash64 collision could perturb a count, but at ~2^18
-    # distinct shingles the any-collision probability is ~1e-9 — far
-    # below the float-determinism tolerances everywhere else.
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
-    )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    edges = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(edges, "doc_a", "doc_b")
+    comp = connected_components(_dup_edges(spark, sf_dir), "doc_a", "doc_b")
     w = Window.partitionBy("component")
     return comp.select(
         F.col("node").alias("doc_id"),
@@ -819,4 +831,42 @@ def dedup_cut_spans(spark, sf_dir):
         ).alias("clean_text"),
         F.count("*").cast("long").alias("kept_tokens"),
         (F.max("n") - F.count("*")).cast("long").alias("dropped_tokens"),
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    {_COMP_CTE}
+    SELECT d.doc_id,
+           CASE WHEN c.doc_id IS NULL THEN 'singleton'
+                ELSE 'canonical' END AS why
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+    tags=("dedup", "components"),
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """The dedup DECISION: the surviving corpus after near-dup group
+    collapse — docs in no duplicate group pass through ('singleton'),
+    each group keeps exactly its min-doc_id member ('canonical'), every
+    other member is dropped. This is the end-to-end keep-list a
+    pipeline actually materializes (pairs -> groups -> one survivor per
+    group). The non-survivor set is |clustered docs| - |groups| rows —
+    tiny next to the corpus — so it reaches the corpus as a broadcast
+    LEFT join at any scale (AQE picks it; the corpus side never
+    shuffles)."""
+    comp = connected_components(_dup_edges(spark, sf_dir), "doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    j = d.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+    )
+    return j.filter(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    ).select(
+        "doc_id",
+        F.when(F.col("component").isNull(), "singleton")
+        .otherwise("canonical")
+        .alias("why"),
     )

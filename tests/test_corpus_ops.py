@@ -346,3 +346,22 @@ def test_cut_spans_removes_exactly_covered_tokens(spark, sf_dir):
     }
     assert got == expected
     assert any(v[2] > 0 for v in expected.values()), "nothing was cut — vacuous"
+
+
+def test_keep_canonical_is_corpus_minus_nonmin_group_members(spark, sf_dir):
+    """Survivors = every unclustered doc + exactly the min-id member of
+    each duplicate group (cross-checked against the CC query)."""
+    comp_rows = REGISTRY["dedup_cluster_components"].fn(spark, sf_dir).collect()
+    clustered = {r.doc_id: r.component for r in comp_rows}
+    docs = set(_docs_tokens(spark, sf_dir))
+    expected = {
+        d: ("canonical" if d in clustered else "singleton")
+        for d in docs
+        if d not in clustered or clustered[d] == d
+    }
+    got = {
+        r.doc_id: r.why
+        for r in REGISTRY["dedup_keep_canonical"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert "canonical" in got.values() and "singleton" in got.values()
