@@ -365,3 +365,58 @@ def test_keep_canonical_is_corpus_minus_nonmin_group_members(spark, sf_dir):
     }
     assert got == expected
     assert "canonical" in got.values() and "singleton" in got.values()
+
+
+_hits_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30)),  # (doc_id, hit pos)
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(hits=_hits_strategy)
+def test_span_interval_union_windows_match_sequential(spark, hits):
+    """The two-window interval-union (running-max end marks new spans,
+    running sum numbers them) used by dup_passage_spans must agree with
+    a sequential merge on arbitrary hit-position sets — overlapping,
+    adjacent, duplicated-gap and single-hit layouts."""
+    from pyspark.sql import Window as W
+
+    L = 6
+    df = spark.createDataFrame(hits, "doc_id long, pos long")
+    w_ord = W.partitionBy("doc_id").orderBy("pos")
+    run_end = F.max(F.col("pos") + L).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "is_new", F.when(F.col("pos") > F.coalesce(run_end, F.lit(-1)), 1).otherwise(0)
+    )
+    spans = flagged.withColumn(
+        "span_id", F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    got = {
+        (r.doc_id, r.span_id): (r.span_start, r.span_end)
+        for r in spans.groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("span_start"), F.max(F.col("pos") + L).alias("span_end"))
+        .collect()
+    }
+    expected = {}
+    by_doc = {}
+    for d, p in hits:
+        by_doc.setdefault(d, []).append(p)
+    for d, ps in by_doc.items():
+        merged = []
+        for p in sorted(ps):
+            if merged and p <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], p + L))
+            else:
+                merged.append((p, p + L))
+        for sid, (s, e) in enumerate(merged, start=1):
+            expected[(d, sid)] = (s, e)
+    assert got == expected
