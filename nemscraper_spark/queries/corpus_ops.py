@@ -59,15 +59,39 @@ def _shingles(spark, sf_dir):
 
 
 def _dup_edges(spark, sf_dir):
-    """Jaccard >= 0.5 word-3-gram near-dup pairs (inverted-index
-    equi-join, as ngram_jaccard_pairs). Joins on the 8-byte shingle
-    hash, not the ~25-byte string: halves the self-join's shuffle bytes
-    (measured 2.2x at sf0.1). A cross-doc xxhash64 collision could
-    perturb a count, but at ~2^18 distinct shingles the any-collision
-    probability is ~1e-9 — far below the float-determinism tolerances
-    everywhere else."""
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
+    """Connectivity-equivalent near-dup edge set: exact-duplicate
+    collapse first, word-3-gram Jaccard >= 0.5 pairs (inverted-index
+    equi-join, as ngram_jaccard_pairs) over the REPRESENTATIVES only,
+    plus rep->member star edges for the collapsed docs.
+
+    The exact-collapse step is what keeps this linear: identical docs
+    (boilerplate repeated millions of times in a crawl) share every
+    shingle, so each text duplicated k times multiplies its posting
+    lists by k and the self-join's intermediate by k^2 — measured 25x
+    wall-clock at 20x corpus with replicated docs before the collapse,
+    2.5x after. Star edges preserve the transitive closure exactly:
+    members of an exact group are Jaccard-1.0 with their rep, and any
+    cross-group pair has the same Jaccard as its reps.
+
+    Joins key on the 8-byte xxhash64, not the shingle string: halves
+    the self-join's shuffle bytes (measured 2.2x at sf0.1). A cross-doc
+    collision could perturb a count, but at ~2^18 distinct shingles the
+    any-collision probability is ~1e-9 — far below the float-
+    determinism tolerances everywhere else."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    mapping = (
+        d.select("doc_id", F.xxhash64("text").alias("th"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("th")))
+        .select("doc_id", "rep")
+    )
+    star = mapping.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    sh = (
+        _shingles(spark, sf_dir)
+        .join(reps, "doc_id")
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -83,12 +107,13 @@ def _dup_edges(spark, sf_dir):
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
+    near = (
         inter.join(F.broadcast(ca), "doc_a")
         .join(F.broadcast(cb), "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b")
     )
+    return near.unionByName(star)
 
 
 # recursive-CTE transitive closure over Jaccard>=0.5 3-gram edges,
@@ -853,10 +878,11 @@ def dedup_keep_canonical(spark, sf_dir):
     each group keeps exactly its min-doc_id member ('canonical'), every
     other member is dropped. This is the end-to-end keep-list a
     pipeline actually materializes (pairs -> groups -> one survivor per
-    group). The non-survivor set is |clustered docs| - |groups| rows —
-    tiny next to the corpus — so it reaches the corpus as a broadcast
-    LEFT join at any scale (AQE picks it; the corpus side never
-    shuffles)."""
+    group). The clustered-node side joins the corpus on doc_id — a
+    plain equi-join AQE sizes at runtime: broadcast when dups are rare,
+    shuffle-hash when a crawl corpus is 30-50% duplicates (a set that
+    big must never be broadcast). Either way no nested loop — pinned in
+    test_plan_quality."""
     comp = connected_components(_dup_edges(spark, sf_dir), "doc_a", "doc_b")
     d = load_table(spark, sf_dir, "documents")
     j = d.select("doc_id").join(

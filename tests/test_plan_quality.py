@@ -164,3 +164,27 @@ def test_sequence_packing_window_is_partitioned(spark, sf_dir):
     window would serialize the whole corpus through one task."""
     p = plan(REGISTRY["sequence_packing"].fn(spark, sf_dir))
     assert "windowspecdefinition(source" in p
+
+
+def test_span_ops_windows_are_doc_partitioned(spark, sf_dir):
+    """Both ExactSubstr ops run their interval-union windows partitioned
+    by doc_id — a partition-less window here would serialize the corpus
+    through one task."""
+    for name in ("dup_passage_spans", "dedup_cut_spans"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "windowspecdefinition(doc_id" in p, name
+        # no global window anywhere in the plan
+        assert "windowspecdefinition(p" not in p.replace(
+            "windowspecdefinition(pos", ""
+        ), name
+
+
+def test_keep_canonical_survivor_join_is_equi(spark, sf_dir):
+    """The survivor filter must reach documents as a doc_id equi-join
+    (hash or sort-merge; AQE broadcasts small dup sets at runtime) —
+    never a nested loop. Statically the checkpointed CC side has no
+    stats, so a broadcast can't be pinned here; what CAN be pinned is
+    the absence of the quadratic fallback."""
+    p = plan(REGISTRY["dedup_keep_canonical"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p
