@@ -44,18 +44,36 @@ from nemscraper_spark.functions import (
     to_nem_timestamp,
 )
 
-PARSED_SCHEMA = (
-    "src_file string, table_key string, headers array<string>, fields array<string>"
+PARSED_SCHEMA = "src_file string, table_key string, headers string, line string"
+BLOCK_SCHEMA = (
+    "src_file string, table_key string, headers string, lines array<string>"
 )
 INFERENCE_SAMPLE_ROWS = 1000  # chunk.rs:324 — first 1k rows drive inference
+_HDR_SEP = "\x1f"  # joins header names into one string column
+SLICE_LINES = 100_000  # ~7MB/slice row — the reference's 100MiB batch
+# cap (split.rs:34) scaled to line units; bounds single-row size AND
+# gives the post-parse repartition slice-granular units to balance
 
 
-def parse_files(spark: SparkSession, input_path: str | list[str]) -> DataFrame:
-    """Scan ZIPs and/or raw CSVs → generic parsed rows.
+def parse_blocks(spark: SparkSession, input_path: str | list[str]) -> DataFrame:
+    """Scan ZIPs and/or raw CSVs → block slices (BLOCK_SCHEMA).
 
     One input file = one Spark task (binaryFile rows are file-granular),
     so the ZIP-member iteration (split.rs:36-55) runs partition-parallel.
     ``input_path``: a directory/glob or an explicit list of files.
+
+    The python side does SEGMENTATION ONLY — find ``I,`` block
+    boundaries with one C-speed regex pass and bulk-split each block
+    body into lines; no per-line python predicate, no python CSV
+    parsing. Each output row is one <=SLICE_LINES slice of a block's
+    raw lines as an Arrow list<string> (one offsets buffer + one data
+    buffer — per-line metadata is NOT repeated, which is what keeps the
+    python->JVM transfer and the fan-out shuffle at ~file size instead
+    of 3x). Line-level rows come from a JVM-side explode; the CSV
+    tokenization happens in ``table_frame`` via ``from_csv`` inside
+    whole-stage codegen. Net effect: the 2.2M-row single-file ingest
+    moved from ~60k rows/s (python csv.reader row loop) to the python
+    stage being a ~2s slice of the job.
     """
     paths = input_path if isinstance(input_path, list) else [input_path]
     binf = (
@@ -66,14 +84,18 @@ def parse_files(spark: SparkSession, input_path: str | list[str]) -> DataFrame:
     )
 
     def extract(iterator):
+        import csv as _csv
         import io
         import os as _os
+        import re
         import zipfile
 
         import pandas as pd
 
+        i_row = re.compile(r"(?m)^I,[^\r\n]*")
+
         for pdf in iterator:
-            out = {"src_file": [], "table_key": [], "headers": [], "fields": []}
+            src_files, keys, hdrs, line_lists = [], [], [], []
             for path, content in zip(pdf["path"], pdf["content"]):
                 base = _os.path.basename(path)
                 members = []
@@ -85,39 +107,46 @@ def parse_files(spark: SparkSession, input_path: str | list[str]) -> DataFrame:
                 else:
                     members.append((base, bytes(content).decode("utf-8", "replace")))
                 for src, text in members:
-                    import csv as _csv
-                    import io as _io
-
-                    current_key = None
-                    current_headers = None
-                    for row in _csv.reader(_io.StringIO(text)):
-                        if not row:
-                            continue
-                        if row[0] == "I":
-                            if len(row) < 5:
-                                continue
-                            current_key = "---".join(row[1:4])
-                            current_headers = row[4:]
-                        elif row[0] == "D" and current_key is not None:
-                            fields = row[4:]
-                            if len(fields) < len(current_headers):
-                                fields = fields + [None] * (
-                                    len(current_headers) - len(fields)
-                                )
-                            else:
-                                fields = fields[: len(current_headers)]
-                            out["src_file"].append(src)
-                            out["table_key"].append(current_key)
-                            out["headers"].append(current_headers)
-                            out["fields"].append(fields)
-            # object dtype keeps Arrow happy when a batch has ZERO D
-            # rows (default empty-frame dtype is float64, which can't
-            # convert to list<string>)
+                    marks = list(i_row.finditer(text))
+                    blocks = []  # (src, key, hdr, body) for THIS member
+                    for k, m in enumerate(marks):
+                        row = next(_csv.reader([m.group(0)]))
+                        end = marks[k + 1].start() if k + 1 < len(marks) else len(text)
+                        body = text[m.end():end].splitlines()
+                        if len(row) >= 5:
+                            blocks.append(
+                                (src, "---".join(row[1:4]), _HDR_SEP.join(row[4:]), body)
+                            )
+                        elif blocks:
+                            # malformed I row: the PREVIOUS block
+                            # continues (csv_batch_processor.rs:72-74
+                            # semantics — the splitter state machine
+                            # keeps its current schema)
+                            blocks[-1] = blocks[-1][:3] + (blocks[-1][3] + body,)
+                    for s, k2, h, body in blocks:
+                        for off in range(0, max(len(body), 1), SLICE_LINES):
+                            src_files.append(s)
+                            keys.append(k2)
+                            hdrs.append(h)
+                            line_lists.append(body[off : off + SLICE_LINES])
             yield pd.DataFrame(
-                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+                {
+                    "src_file": pd.Series(src_files, dtype="object"),
+                    "table_key": pd.Series(keys, dtype="object"),
+                    "headers": pd.Series(hdrs, dtype="object"),
+                    "lines": pd.Series(line_lists, dtype="object"),
+                }
             )
 
-    return binf.mapInPandas(extract, schema=PARSED_SCHEMA)
+    return binf.mapInPandas(extract, schema=BLOCK_SCHEMA)
+
+
+def parse_files(spark: SparkSession, input_path: str | list[str]) -> DataFrame:
+    """Line-granular view of :func:`parse_blocks` (PARSED_SCHEMA): the
+    slice rows exploded JVM-side to one row per raw line."""
+    return parse_blocks(spark, input_path).select(
+        "src_file", "table_key", "headers", F.explode("lines").alias("line")
+    )
 
 
 def _looks_float(s: str) -> bool:
@@ -154,8 +183,12 @@ def infer_types(samples: dict[str, str | None]) -> dict[str, str]:
 
 
 def table_frame(parsed: DataFrame, table_key: str, sample=None) -> DataFrame:
-    """Project one table's rows out of the generic parsed scan and apply
-    the reference's cleaning + type inference."""
+    """Project one table's rows out of the segmented scan: JVM-side
+    ``from_csv`` tokenization (quote-aware, whole-stage codegen — the
+    python side never parses data rows), then the reference's cleaning
+    + type inference."""
+    import csv as _csv
+
     sub = parsed.filter(F.col("table_key") == table_key)
     # ONE sample job covers both header discovery and type inference
     # (was first() + a second limit().collect() — at 2 tables x 2
@@ -163,10 +196,10 @@ def table_frame(parsed: DataFrame, table_key: str, sample=None) -> DataFrame:
     # ingest() pre-collects samples for ALL tables in a single job and
     # passes them in
     if sample is None:
-        sample = sub.select("headers", "fields").limit(INFERENCE_SAMPLE_ROWS).collect()
+        sample = sub.select("headers", "line").limit(INFERENCE_SAMPLE_ROWS).collect()
     if not sample:
         raise KeyError(f"no rows for table {table_key!r}")
-    headers = list(sample[0]["headers"])
+    headers = sample[0]["headers"].split(_HDR_SEP)
 
     def _clean_py(v):
         # python twin of clean_str + empty-string→null, for inference
@@ -178,21 +211,34 @@ def table_frame(parsed: DataFrame, table_key: str, sample=None) -> DataFrame:
             v = v[1:-1]
         return v or None
 
+    sample_fields = []
+    for r in sample:
+        row = next(_csv.reader([r["line"]]), None)
+        if row and row[0] == "D":
+            sample_fields.append(row[4:])
     samples: dict[str, str | None] = {}
     for i, h in enumerate(headers):
         samples[h] = next(
             (
-                _clean_py(r["fields"][i])
-                for r in sample
-                if i < len(r["fields"]) and _clean_py(r["fields"][i]) is not None
+                _clean_py(f[i])
+                for f in sample_fields
+                if i < len(f) and _clean_py(f[i]) is not None
             ),
             None,
         )
     plan = infer_types(samples)
 
+    # JVM CSV tokenization: 4 marker cols + the block's headers, all
+    # string; PERMISSIVE mode null-pads ragged short rows and ignores
+    # extras (the splitter's pad/truncate, csv_batch_processor.rs:80-88)
+    ddl = ", ".join(
+        [f"_c{i} STRING" for i in range(4)] + [f"`{h}` STRING" for h in headers]
+    )
+    rec = F.from_csv(F.col("line"), ddl)
+    sub = sub.select("src_file", rec.alias("r")).filter(F.col("r._c0") == "D")
     raw = sub.select(
         "src_file",
-        *[clean_str(F.col("fields")[i]).alias(h) for i, h in enumerate(headers)],
+        *[clean_str(F.col("r").getField(h)).alias(h) for h in headers],
     )
     # empty strings are nulls (chunk.rs:211-216 parses "" to None)
     raw = raw.select(
@@ -230,7 +276,25 @@ def ingest(
     """
     from pyspark.sql import Window
 
-    parsed = parse_files(spark, input_path).cache()
+    blocks = parse_blocks(spark, input_path)
+    # a single big file parses as ONE binaryFile task; spread its block
+    # SLICES across the cluster before the (explode + from_csv + cast +
+    # write) heavy stage — slice rows carry no per-line metadata, so
+    # this shuffle moves ~the raw line bytes, nothing more. Only when
+    # files < cores: with a real file corpus the natural per-file
+    # parallelism stands and nothing is shuffled.
+    n_files = _count_input_files(input_path)
+    par = spark.sparkContext.defaultParallelism
+    if 0 < n_files < par:
+        blocks = blocks.repartition(par)
+    # cache the SLICE rows (compact list<string> columnar form, ~file
+    # size); each consumer re-explodes from cache — explode is
+    # whole-stage-codegen'd and costs far less than materializing the
+    # line-granular cache would
+    blocks = blocks.cache()
+    parsed = blocks.select(
+        "src_file", "table_key", "headers", F.explode("lines").alias("line")
+    )
     try:
         # ONE job discovers the table list AND collects each table's
         # inference sample (first N parsed rows per table)
@@ -238,9 +302,10 @@ def ingest(
             F.monotonically_increasing_id()
         )
         sample_rows = (
-            parsed.withColumn("_rn", F.row_number().over(w))
+            parsed.filter(F.col("line").startswith("D,"))
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= INFERENCE_SAMPLE_ROWS)
-            .select("table_key", "headers", "fields")
+            .select("table_key", "headers", "line")
             .collect()
         )
         samples_by_table: dict[str, list] = {}
@@ -253,6 +318,12 @@ def ingest(
             out = df.withColumn("date", date_from_filename(F.col("src_file"))).drop(
                 "src_file"
             )
+            # NOTE on row order: the fan-out shuffle moves whole SLICES
+            # (each a contiguous run of file lines), so within-row-group
+            # time clustering survives without an explicit sort — a
+            # sortWithinPartitions("date", ts) here was measured to add
+            # ~1.5s for zero size/stats gain. Re-clustering across
+            # files is the compactor's job (plans/layout.py).
             path = os.path.join(out_dir, key)
             out.write.mode("append").partitionBy("date").option(
                 "compression", compression
@@ -262,7 +333,26 @@ def ingest(
             written[key] = _parquet_rows(path)
         return written
     finally:
-        parsed.unpersist()
+        blocks.unpersist()
+
+
+def _count_input_files(input_path: str | list[str]) -> int:
+    """Driver-side input-file count for the fan-out decision. 0 when the
+    path isn't locally listable (then the natural partitioning stands)."""
+    import glob as _glob
+
+    if isinstance(input_path, list):
+        return len(input_path)
+    try:
+        if os.path.isdir(input_path):
+            return sum(
+                1
+                for f in os.listdir(input_path)
+                if f.lower().endswith((".zip", ".csv"))
+            )
+        return len(_glob.glob(input_path))
+    except OSError:
+        return 0
 
 
 def _parquet_rows(table_root: str) -> int:
