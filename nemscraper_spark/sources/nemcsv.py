@@ -283,9 +283,12 @@ def ingest(
     # this shuffle moves ~the raw line bytes, nothing more. Only when
     # files < cores: with a real file corpus the natural per-file
     # parallelism stands and nothing is shuffled.
-    n_files = _count_input_files(input_path)
+    n_files, n_bytes = _input_stats(input_path)
     par = spark.sparkContext.defaultParallelism
-    if 0 < n_files < par:
+    # fan out only when it can pay for its shuffle: few files AND enough
+    # bytes that the heavy stage benefits from extra tasks (a small
+    # batch's whole job is cheaper than one extra stage boundary)
+    if 0 < n_files < par and n_bytes >= FAN_OUT_MIN_BYTES:
         blocks = blocks.repartition(par)
     # cache the SLICE rows (compact list<string> columnar form, ~file
     # size); each consumer re-explodes from cache — explode is
@@ -336,23 +339,38 @@ def ingest(
         blocks.unpersist()
 
 
-def _count_input_files(input_path: str | list[str]) -> int:
-    """Driver-side input-file count for the fan-out decision. 0 when the
-    path isn't locally listable (then the natural partitioning stands)."""
+FAN_OUT_MIN_BYTES = 32 * 1024 * 1024  # below this the shuffle costs more
+# than the parallelism buys (one ~7MB slice per SLICE_LINES lines; a
+# <32MB batch yields too few slices to spread anyway)
+
+
+def _input_stats(input_path: str | list[str]) -> tuple[int, int]:
+    """Driver-side (file count, total bytes) for the fan-out decision.
+    (0, 0) when the path isn't locally listable (then the natural
+    partitioning stands)."""
     import glob as _glob
 
     if isinstance(input_path, list):
-        return len(input_path)
-    try:
-        if os.path.isdir(input_path):
-            return sum(
-                1
-                for f in os.listdir(input_path)
-                if f.lower().endswith((".zip", ".csv"))
-            )
-        return len(_glob.glob(input_path))
-    except OSError:
-        return 0
+        files = list(input_path)
+    else:
+        try:
+            if os.path.isdir(input_path):
+                files = [
+                    os.path.join(input_path, f)
+                    for f in os.listdir(input_path)
+                    if f.lower().endswith((".zip", ".csv"))
+                ]
+            else:
+                files = _glob.glob(input_path)
+        except OSError:
+            return 0, 0
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    return len(files), total
 
 
 def _parquet_rows(table_root: str) -> int:
