@@ -212,7 +212,34 @@ def fpp_performance(spark, sf_dir):
     return performance(spark, sf_dir)
 
 
-@register("fpp_frequency_measure_ewma", oracle=None, tags=("fpp", "W2"))
+@register(
+    "fpp_frequency_measure_ewma",
+    # recursive-CTE twin of the EWMA kernel (see ewma_per_entity for
+    # the bit-exactness argument); freq_dev = value - 100 must also
+    # match the Spark projection's double subtraction exactly
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_id, event_type AS region, ts,
+             value - CAST(100 AS DOUBLE) AS freq_dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    rec AS (
+      SELECT event_id, region, ts, freq_dev, rn,
+             (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * CAST(0 AS DOUBLE)
+               + (CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * (-freq_dev) AS freq_measure
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.region, o.ts, o.freq_dev, o.rn,
+             (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * r.freq_measure
+               + (CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * (-o.freq_dev)
+      FROM ordered o JOIN rec r ON o.region = r.region AND o.rn = r.rn + 1
+    )
+    SELECT event_id, region, ts, freq_dev, freq_measure FROM rec
+    """,
+    tags=("fpp", "W2"),
+)
 def fpp_frequency_measure_ewma(spark, sf_dir):
     """Step 1: quality filter → per-region recursive EWMA over the
     negated deviation (crunch.rs:220-295; alpha=2/9, seed 0, reset per

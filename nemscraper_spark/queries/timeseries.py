@@ -232,7 +232,28 @@ def sessionize(spark, sf_dir):
 
 @register(
     "ewma_per_entity",
-    oracle=None,  # recursive — not SQL-expressible; pinned by pytest vs a pure-python model
+    # the recurrence IS SQL-expressible as a recursive CTE; the anchor
+    # row spells out om*0 + a*(-v) so its IEEE op sequence (and -0.0
+    # handling) is bit-identical to the kernel's loop
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_id, user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT event_id, user_id, ts, value, rn,
+             (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * CAST(0 AS DOUBLE)
+               + (CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * (-value) AS ewma_value
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.ts, o.value, o.rn,
+             (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * r.ewma_value
+               + (CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE)) * (-o.value)
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ts, value, ewma_value FROM rec
+    """,
     tags=("W2",),
 )
 def ewma_per_entity(spark, sf_dir):

@@ -771,7 +771,29 @@ def doc_winnow_fingerprint(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_stub", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_decode_stub",
+    # the stub's features are pure byte math, so even the mapInPandas
+    # plumbing gets a full value-hash check (documents are ASCII, so
+    # chars == bytes and ord == byte value; the driver's testdata
+    # guarantees this at every sf)
+    oracle="""
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(d.text) = 0 THEN -1
+                     ELSE ord(substr(d.text, 1, 1)) END AS BIGINT) AS first_byte,
+           CASE WHEN length(d.text) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(COALESCE(b.s, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+           END AS byte_mean
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, SUM(ord(substr(text, i, 1))) AS s
+      FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)
+      GROUP BY doc_id
+    ) b USING (doc_id)
+    """,
+    tags=("multimodal",),
+)
 def multimodal_decode_stub(spark, sf_dir):
     """Multimodal plumbing: opaque binary payloads + typed metadata,
     decoded/feature-extracted via mapInPandas in Arrow batches.
