@@ -3,10 +3,12 @@
 entry(spark)   — flagship FPP performance pipeline on sf0.001
 queries()      — every implemented operator from SURVEY.md §2 (+ the
                  training-data ops), one callable per name
-oracle_sql()   — DuckDB-dialect equivalents; keys without an oracle are
-                 the genuinely non-SQL-expressible ops (recursive EWMA,
-                 hash-seeded MinHash/LSH, mapInPandas stubs) and get the
-                 driver's rows-only check.
+oracle_sql()   — DuckDB-dialect equivalents (recursive EWMA included,
+                 via a bit-exact recursive CTE); keys without an oracle
+                 are the genuinely non-deterministic-SQL ops
+                 (hash-seeded MinHash/LSH, approximate ANN/sketches,
+                 file-integration round trips) and get the driver's
+                 rows-only check.
 """
 
 from __future__ import annotations
