@@ -11,6 +11,7 @@ them every round.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import zipfile
 
@@ -54,6 +55,8 @@ def nem_ingest_conservation(spark, sf_dir):
     rows = [
         (k, counts.get(k, 0), d, counts.get(k, 0) == d) for k, d in _D_ROWS.items()
     ]
+    # counts are eager (footer reads), so the fixture dir can go now
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows, "table_key string, parquet_rows long, d_rows long, conserved boolean"
     )
@@ -87,6 +90,8 @@ def nem_compaction_roundtrip(spark, sf_dir):
         # conservation from the compacted footers — the reference's
         # verify reads metadata, not data (verify.rs:56-133)
         results.append((key, _parquet_rows(root), 2 * d, len(files)))
+    # all invariants are computed eagerly from footers/listings above
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         results, "table_key string, rows long, expected_rows long, files_after int"
     )

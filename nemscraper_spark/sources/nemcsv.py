@@ -364,11 +364,20 @@ def _input_stats(input_path: str | list[str]) -> tuple[int, int]:
                 files = _glob.glob(input_path)
         except OSError:
             return 0, 0
+    import zipfile as _zf
+
     total = 0
     for f in files:
         try:
-            total += os.path.getsize(f)
-        except OSError:
+            if f.lower().endswith(".zip"):
+                # the work scales with UNCOMPRESSED bytes (NEM CSVs
+                # deflate 5-15x); the central directory is a cheap
+                # driver-side read
+                with _zf.ZipFile(f) as z:
+                    total += sum(zi.file_size for zi in z.infolist())
+            else:
+                total += os.path.getsize(f)
+        except (OSError, _zf.BadZipFile):
             pass
     return len(files), total
 
