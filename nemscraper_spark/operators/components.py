@@ -77,7 +77,9 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence probe below is the action
+        # that materializes it — one Spark job per round, not two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # one-row convergence probe: stable (count, xor-of-edge-hashes)
         # means the star set stopped changing. XOR, not SUM: order-
         # independent like sum, but can't hit ANSI long overflow.

@@ -281,3 +281,109 @@ def semi_join_exists(spark, sf_dir):
     return o.join(
         li, o.o_orderkey == li.l_orderkey, "left_semi"
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {oracle_dec_sum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "A1", "O3", "flagship"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: filter → 3-way join → grouped revenue → top-10.
+
+    The headline multi-join + agg + top-k plan: both join keys arrive
+    pre-filtered (segment filter on customer, date filters pushed to
+    the orders/lineitem scans), the aggregation is partial-agg'd
+    map-side, and the final ORDER BY ... LIMIT collapses to
+    TakeOrderedAndProject (no global sort). Customer/orders broadcast
+    decisions are left to AQE — both shrink with the filters, and at
+    100TB the surviving side still hash-joins on the shuffled key.
+    The tie-break columns (o_orderdate, l_orderkey) make the LIMIT cut
+    deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {oracle_dec_sum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("J6", "A1", "flagship"),
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join cascade → per-nation revenue.
+
+    The deepest join pipeline in the suite (J6's cascade on real
+    dimension chains): region and nation are genuinely bounded →
+    forced broadcast, so the nation/region hops never shuffle the fact
+    stream; supplier and the customer⋈orders side are scale-out
+    relations and hash-join on their keys with AQE free to broadcast
+    whichever side the filters shrink below threshold. The
+    c_nationkey = s_nationkey local-supplier condition rides the
+    l_suppkey join as a residual filter — no extra exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )

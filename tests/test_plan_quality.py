@@ -188,3 +188,20 @@ def test_keep_canonical_survivor_join_is_equi(spark, sf_dir):
     p = plan(REGISTRY["dedup_keep_canonical"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_q3_topk_and_pushdown(spark, sf_dir):
+    """Q3's LIMIT must be TakeOrderedAndProject (no global sort) and the
+    date/segment filters must reach the parquet scans."""
+    p = plan(REGISTRY["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+    assert "PushedFilters" in p and "c_mktsegment" in p
+
+
+def test_q5_bounded_dims_broadcast(spark, sf_dir):
+    """Q5's nation/region hops must be broadcast joins — the fact
+    stream never shuffles for a bounded dimension."""
+    p = plan(REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
