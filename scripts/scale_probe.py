@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Query scaling probe: replicate the testdata tables N times and
+compare per-query wall-clock at 1x vs Nx.
+
+The small-SF bench verifies correctness and absolute speed; THIS script
+answers the scale question — which plans grow sublinearly (fixed floor
+amortizing away), linearly (scan-bound, fine), or superlinearly (a
+shuffle/join that will not survive 100TB). BASELINE.md records the
+measured 20x results; re-run after touching any heavy operator.
+
+Replication preserves the data's relational structure instead of naively
+doubling rows:
+  * every key column is offset by k * (max_key + 1) per replica, so
+    joins match within a replica and never across — join selectivity
+    and group counts scale with the data like a real corpus;
+  * half the replicated documents get a perturbed text (one appended
+    token) — near-dup candidate structure grows, identical-doc cliques
+    (the known quadratic trap) do not;
+  * bounded dims (region, nation) are NOT replicated — at any scale
+    they stay broadcast-sized, exactly like production.
+
+Usage: python scripts/scale_probe.py [factor] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "minhash_lsh_pairs",
+    "dedup_cluster_components",
+    "dedup_cut_spans",
+    "decontaminate_train_ngrams",
+    "sequence_packing",
+    "ewma_per_entity",
+    "sessionize",
+    "ann_ivf_cosine",
+]
+
+# per-table key columns to offset per replica (keeps joins replica-local)
+KEY_OFFSETS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+BOUNDED = ("region", "nation")
+
+
+def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from nemscraper_spark.queries.common import TABLES, load_table
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        out = os.path.join(dst_dir, f"{t}.parquet")
+        if t in BOUNDED:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        keys = KEY_OFFSETS.get(t, [])
+        steps = {
+            k: (df.agg(F.max(k)).collect()[0][0] or 0) + 1 for k in keys
+        }
+        reps = []
+        for k in range(factor):
+            r = df
+            for col, step in steps.items():
+                r = r.withColumn(col, (F.col(col) + F.lit(k * step)).cast("long"))
+            if t == "documents" and k % 2 == 1:
+                # odd replicas: near-dup of the original, not identical
+                r = r.withColumn("text", F.concat_ws(" ", "text", F.lit(f"v{k}")))
+            reps.append(r)
+        u = reps[0]
+        for r in reps[1:]:
+            u = u.unionByName(r)
+        u.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from nemscraper_spark.queries import REGISTRY
+    from nemscraper_spark.session import get_spark
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1).count()
+
+    def _noop(b):
+        yield from b
+
+    spark.range(64).repartition(32).mapInPandas(_noop, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    scaled = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        t0 = time.perf_counter()
+        replicate(spark, base, scaled, factor)
+        print(f"replicated {factor}x into {scaled} in {time.perf_counter() - t0:.1f}s")
+
+        def run(name: str, sf_dir: str) -> float:
+            t = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t
+
+        print(f"{'query':34s} {'1x':>7s} {f'{factor}x':>8s} {'ratio':>6s}")
+        for name in names:
+            if name not in REGISTRY:
+                print(f"{name:34s} (unknown — skipped)")
+                continue
+            b = run(name, base)
+            s = run(name, scaled)
+            print(f"{name:34s} {b:6.2f}s {s:7.2f}s {s / b:5.1f}x", flush=True)
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
