@@ -70,7 +70,13 @@ def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
 
     os.makedirs(dst_dir, exist_ok=True)
     for t in TABLES:
-        df = load_table(spark, src_dir, t)
+        if t == "events":
+            # keep ts as the raw (nanos) long — load_table converts on
+            # read, and writing the converted form would double-convert
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+        else:
+            df = load_table(spark, src_dir, t)
         out = os.path.join(dst_dir, f"{t}.parquet")
         if t in BOUNDED:
             df.write.mode("overwrite").parquet(out)
