@@ -176,6 +176,43 @@ def dedup_cluster_components(spark, sf_dir):
     )
 
 
+@register("dedup_groups_lsh", oracle=None, tags=("dedup",))
+def dedup_groups_lsh(spark, sf_dir):
+    """The fully scale-path dup-group closure: exact-collapse →
+    MinHash+LSH verified pairs (Jaccard >= 0.5) over the REPRESENTATIVES
+    → star edges for exact members → connected components.
+
+    This is dedup_cluster_components with the exact inverted-index edge
+    generation (linear but shingle-join heavy) swapped for the LSH
+    bucket join — every stage linear in corpus size, the composition a
+    100TB keep-list would actually run. Rows-only check (xxhash64 band
+    seeds aren't portable to DuckDB); the LSH pair recall and the CC
+    closure are each pinned exactly in their own tests."""
+    from nemscraper_spark.queries.training_data import lsh_verified_pairs
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    mapping = (
+        d.select("doc_id", F.xxhash64("text").alias("th"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("th")))
+        .select("doc_id", "rep")
+    )
+    star = mapping.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    near = (
+        lsh_verified_pairs(d.join(reps, "doc_id"), threshold=0.5)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(near.unionByName(star), "doc_a", "doc_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(w).alias("n_members"),
+    )
+
+
 @register(
     "train_test_split_hash",
     oracle="""

@@ -153,6 +153,14 @@ def minhash_lsh_pairs(spark, sf_dir):
     tests/test_training_ops.py.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    return lsh_verified_pairs(d, threshold=0.2)
+
+
+def lsh_verified_pairs(d, threshold: float = 0.2):
+    """The reusable LSH pipeline over a (doc_id, text) frame: shingle →
+    minhash → band buckets → candidate pairs → pair-local exact-Jaccard
+    verify → (doc_a, doc_b, jaccard >= threshold). See
+    minhash_lsh_pairs for the scale analysis of each stage."""
     n_perm, band_size = 16, 4
     # NOTE: deliberately NOT persisted — the explode pipelines into the
     # partial min-agg / count-agg under whole-stage codegen; caching the
@@ -231,7 +239,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 

@@ -420,3 +420,24 @@ def test_span_interval_union_windows_match_sequential(spark, hits):
         for sid, (s, e) in enumerate(merged, start=1):
             expected[(d, sid)] = (s, e)
     assert got == expected
+
+
+def test_lsh_groups_refine_exact_groups(spark, sf_dir):
+    """LSH candidates are a subset of all pairs and the verify applies
+    the same exact-Jaccard threshold, so every dedup_groups_lsh group
+    must sit INSIDE one dedup_cluster_components group (refinement) —
+    LSH may miss edges (band recall < 1) but can never merge docs the
+    exact edge set keeps apart."""
+    exact = {
+        r.doc_id: r.component
+        for r in REGISTRY["dedup_cluster_components"].fn(spark, sf_dir).collect()
+    }
+    lsh_groups: dict[int, set[int]] = {}
+    for r in REGISTRY["dedup_groups_lsh"].fn(spark, sf_dir).collect():
+        lsh_groups.setdefault(r.component, set()).add(r.doc_id)
+    assert lsh_groups, "LSH path found no duplicate groups at test scale"
+    for members in lsh_groups.values():
+        # every member must be clustered by the exact path too...
+        assert members <= exact.keys()
+        # ...and into a single exact component
+        assert len({exact[m] for m in members}) == 1
