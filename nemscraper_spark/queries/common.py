@@ -182,18 +182,21 @@ def pairwise_cosine9(pairs: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; read it as long (legacy nanosAsLong) and
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS). Older Spark
+    vectorized readers reject it, so we enable legacy nanosAsLong and
     convert ns → µs with integer division (ns epochs exceed 2^53, so
-    float math would corrupt them), yielding TIMESTAMP_NTZ to match the
-    other tables' naive timestamps.
+    float math would corrupt them). Spark ≥4.1 instead reads NANOS
+    natively as TIMESTAMP_NTZ (truncated to µs) and ignores the legacy
+    conf — detect which schema we got and normalize to TIMESTAMP_NTZ.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
     return spark.read.parquet(path)
