@@ -845,20 +845,20 @@ def dedup_cut_spans(spark, sf_dir):
     """Span-level cut-and-drop dedup — APPLIES dup_passage_spans: every
     token covered by a corpus-duplicated 6-gram window is removed and
     the survivors are reassembled in order (Lee et al.'s ExactSubstr
-    cut, the step document-level dedup can't do). Coverage is decided
-    by one doc-partitioned running window over the token stream with
-    dup-gram start markers left-joined on — no per-token range join,
-    no quadratic containment probe. Reassembly sorts each doc's kept
-    (pos, tok) pairs inside the aggregate (array_sort of structs), so
-    the groupBy stays a plain hash agg with map-side partials on the
-    collect. Docs whose tokens are all covered drop out entirely."""
+    cut, the step document-level dedup can't do).
+
+    Only the 6-gram START positions ever leave the row: corpus-wide
+    gram counts (partial-aggregated on the 8-byte xxhash64 key) flow
+    back as one sorted hit-position array per doc, and the cut itself
+    is a row-local `aggregate` cursor pass over that array — each hit
+    appends the uncovered slice of the token array before it and
+    advances the cursor past the hit's 6-token window. No token-level
+    explode (tokens × docs rows), no doc-partitioned window sort, no
+    collect_list regroup of the whole corpus: the only shuffles are the
+    gram-count groupBy and one doc_id-keyed agg+join, both map-side
+    combinable. Docs whose tokens are all covered drop out entirely."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     base = d.select("doc_id", F.split("text", " ").alias("w"))
-    toks = base.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n"),
-        F.posexplode("w").alias("pos", "tok"),
-    )
     g = (
         base.filter(F.size("w") >= 6)
         .select(
@@ -873,26 +873,45 @@ def dedup_cut_spans(spark, sf_dir):
         .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
     )
     dupg = g.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    hits = g.join(dupg.select("h"), "h").select("doc_id", "pos", F.lit(1).alias("hit"))
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    hits = g.join(dupg.select("h"), "h").select("doc_id", "pos")
+    doc_hits = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
     )
-    m = toks.join(hits, ["doc_id", "pos"], "left").withColumn(
-        "run_end", F.max(F.when(F.col("hit") == 1, F.col("pos") + 6)).over(w_cum)
+    m = base.join(doc_hits, "doc_id", "left")
+    # cursor pass: state = (next uncut token index, kept-token arrays);
+    # a hit at p keeps w[cur, p) if the gap is uncovered, then advances
+    # the cursor to at least p+6 (overlapping hits only extend it).
+    # slice() is 1-based; flatten+to-json-free, stays whole-stage codegen.
+    kept_arr = F.when(F.col("ps").isNull(), F.col("w")).otherwise(
+        F.expr(
+            "flatten(aggregate(ps,"
+            " struct(cast(0 as bigint) as cur,"
+            "        cast(array() as array<array<string>>) as acc),"
+            " (st, p) -> struct("
+            "   greatest(st.cur, p + cast(6 as bigint)) as cur,"
+            "   CASE WHEN p > st.cur THEN"
+            "     array_append(st.acc, slice(w, cast(st.cur + 1 as int),"
+            "                                cast(p - st.cur as int)))"
+            "   ELSE st.acc END as acc),"
+            " st -> CASE WHEN size(w) > st.cur THEN"
+            "   array_append(st.acc, slice(w, cast(st.cur + 1 as int),"
+            "                              cast(size(w) - st.cur as int)))"
+            " ELSE st.acc END))"
+        )
     )
-    kept = m.filter(F.col("run_end").isNull() | (F.col("pos") >= F.col("run_end")))
-    return kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").cast("long").alias("kept_tokens"),
-        (F.max("n") - F.count("*")).cast("long").alias("dropped_tokens"),
+    out = m.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n"),
+        kept_arr.alias("kept"),
+    )
+    return (
+        out.filter(F.size("kept") > 0)
+        .select(
+            "doc_id",
+            F.array_join("kept", " ").alias("clean_text"),
+            F.size("kept").cast("long").alias("kept_tokens"),
+            (F.col("n") - F.size("kept")).cast("long").alias("dropped_tokens"),
+        )
     )
 
 

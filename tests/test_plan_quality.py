@@ -167,16 +167,20 @@ def test_sequence_packing_window_is_partitioned(spark, sf_dir):
 
 
 def test_span_ops_windows_are_doc_partitioned(spark, sf_dir):
-    """Both ExactSubstr ops run their interval-union windows partitioned
-    by doc_id — a partition-less window here would serialize the corpus
-    through one task."""
-    for name in ("dup_passage_spans", "dedup_cut_spans"):
-        p = plan(REGISTRY[name].fn(spark, sf_dir))
-        assert "windowspecdefinition(doc_id" in p, name
-        # no global window anywhere in the plan
-        assert "windowspecdefinition(p" not in p.replace(
-            "windowspecdefinition(pos", ""
-        ), name
+    """dup_passage_spans runs its interval-union windows partitioned by
+    doc_id — a partition-less window here would serialize the corpus
+    through one task. dedup_cut_spans goes further: the cut is a
+    row-local aggregate() cursor pass, so its plan must contain NO
+    window operator at all (only gram-count and doc_id-keyed shuffles)."""
+    p = plan(REGISTRY["dup_passage_spans"].fn(spark, sf_dir))
+    assert "windowspecdefinition(doc_id" in p
+    # no global window anywhere in the plan
+    assert "windowspecdefinition(p" not in p.replace(
+        "windowspecdefinition(pos", ""
+    )
+    p_cut = plan(REGISTRY["dedup_cut_spans"].fn(spark, sf_dir))
+    assert "windowspecdefinition" not in p_cut
+    assert "Window" not in p_cut
 
 
 def test_keep_canonical_survivor_join_is_equi(spark, sf_dir):
