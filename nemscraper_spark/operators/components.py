@@ -69,16 +69,38 @@ def connected_components(
     id reachable from `node`.  Includes every node that appears in an
     edge (callers union in singletons if they need them labeled).
     """
+    spark = edges.sparkSession
+
+    def _persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _unpersist(ids):
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    before = _persisted_ids()
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # ids this call persisted for the CURRENT round — each round's
+    # checkpoint blocks are freed as soon as the next round's are
+    # materialized. Without this a long-lived session (or a 12-round run
+    # over billions of edges) accumulates every round's edge set in
+    # executor storage memory; only the final round's blocks — which the
+    # returned DataFrame still reads — outlive the call.
+    cur_ids = _persisted_ids() - before
     prev_sig = None
     for _ in range(max_rounds):
         # lazy checkpoint: the convergence probe below is the action
         # that materializes it — one Spark job per round, not two
+        before = _persisted_ids()
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # one-row convergence probe: stable (count, xor-of-edge-hashes)
         # means the star set stopped changing. XOR, not SUM: order-
@@ -88,6 +110,8 @@ def connected_components(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
+        _unpersist(cur_ids)
+        cur_ids = _persisted_ids() - before
         if sig == prev_sig:
             break
         prev_sig = sig
