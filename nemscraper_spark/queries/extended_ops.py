@@ -104,6 +104,66 @@ def rollup_totals(spark, sf_dir):
 
 
 @register(
+    "grouping_sets_matrix",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {oracle_dec_sum("l_quantity")} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("A-rollup",),
+)
+def grouping_sets_matrix(spark, sf_dir):
+    """Arbitrary GROUPING SETS (per-flag, per-status, grand total in one
+    pass) — the generalization of rollup_totals for dashboard matrices
+    that aren't a hierarchy. grouping_id disambiguates a NULL data value
+    from a NULL produced by the grouping, which is what makes the result
+    joinable/hashable downstream. One shuffle produces all three
+    aggregation levels (Expand + single hash-agg), vs three scans with
+    stacked UNION ALL."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle=f"""
+    SELECT 'l_quantity' AS metric, {oracle_dec_sum("l_quantity")} AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', {oracle_dec_sum("l_extendedprice")} FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', {oracle_dec_sum("l_discount")} FROM lineitem
+    """,
+    tags=("U-unpivot",),
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide->long unpivot (melt): three measure columns stack into
+    (metric, value) rows INSIDE the scan projection (Expand operator —
+    no join, no triple scan), then one partial-aggregated groupBy totals
+    each metric. The inverse of pivot_status_by_flag; the long layout is
+    what metric stores and plotting layers ingest."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(dec_sum("val").alias("total"))
+
+
+@register(
     "pivot_status_by_flag",
     oracle=f"""
     SELECT l_returnflag,
