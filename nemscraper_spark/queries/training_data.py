@@ -631,6 +631,126 @@ def ann_ivf_cosine(spark, sf_dir):
     )
 
 
+@register("ann_pq_adc", oracle=None, tags=("similarity", "quantize"))
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance (the
+    FAISS-style PQ/ADC path): 64-dim vectors split into M=8 subspaces
+    of 8 dims, each subspace quantized against its own K=16-entry
+    codebook, so every vector compresses to 8 bytes of codes (32x
+    smaller than float32 — the layout that lets a billion-vector index
+    live in RAM). Queries stay UNquantized: per query a (M x K) table
+    of exact subvector->centroid distances is precomputed once, and a
+    candidate's approximate distance is M table lookups summed — no
+    float vector is ever touched at scan time.
+
+    Distributed shape: codebooks train on a driver-side SAMPLE (first
+    256 vectors, deterministic Lloyd — sampling for PQ training is the
+    standard recipe; the sample is tiny by construction), then ENCODE
+    and SEARCH — the passes that touch the whole corpus — run as
+    Arrow-batched numpy kernels over mapInPandas, embarrassingly
+    parallel, no shuffle until the final per-query top-k. Vectors are
+    L2-normalized first so min-L2 ranking == max-cosine ranking
+    (recall floor vs cosine_topk_bruteforce pinned in tests). At 100TB
+    this composes with ann_ivf_cosine: coarse IVF probe prunes the
+    candidate set, PQ codes re-rank it without reading raw vectors."""
+    from pyspark.sql import Window
+
+    M, SUB, K = 8, 8, 16
+    e = _emb_sized(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    import numpy as np
+
+    sample = np.stack(
+        [
+            np.asarray(r.e, dtype=np.float64)
+            for r in sorted(e.filter(F.col("vec_id") < 256).collect())
+        ]
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = []  # books[m]: (K, SUB)
+    for m in range(M):
+        Xs = sample[:, m * SUB : (m + 1) * SUB]
+        cb = Xs[:K].copy()  # deterministic seed: first K sample rows
+        for _ in range(2):  # Lloyd on the sample, ties -> lower code
+            d2 = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            near = d2.argmin(axis=1)
+            for c in range(K):
+                if (near == c).any():
+                    cb[c] = Xs[near == c].mean(axis=0)
+        books.append([[float(x) for x in row] for row in cb])
+
+    def encode_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.asarray(books, dtype=np.float64)  # (M, K, SUB)
+        m_, k_, s_ = B.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((len(X), m_), dtype=np.int64)
+            for m in range(m_):
+                Xs = X[:, m * s_ : (m + 1) * s_]
+                d2 = ((Xs[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)  # argmin ties -> lower code
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "codes": [list(map(int, c)) for c in codes],
+                }
+            )
+
+    encoded = e.mapInPandas(encode_fn, schema="vec_id long, codes array<int>")
+
+    # per-query ADC tables from the EXACT query vectors (tiny: 10xMxK)
+    qrows = sorted(e.filter(F.col("vec_id") < 10).collect())
+    qtables = {}
+    for r in qrows:
+        qv = np.asarray(r.e, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        t = np.empty((M, K))
+        for m in range(M):
+            qs = qv[m * SUB : (m + 1) * SUB]
+            t[m] = ((np.asarray(books[m]) - qs[None, :]) ** 2).sum(axis=1)
+        qtables[int(r.vec_id)] = [[float(x) for x in row] for row in t]
+
+    def adc_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        tables = {q: np.asarray(t) for q, t in qtables.items()}
+        cols = np.arange(8)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            nid = pdf["vec_id"].astype("int64").to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for q, t in tables.items():
+                d = t[cols, C].sum(axis=1)  # (n,) — M lookups summed
+                keep = nid != q
+                out_q.append(np.full(keep.sum(), q, dtype=np.int64))
+                out_n.append(nid[keep])
+                out_d.append(np.round(d[keep], 9))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        adc_fn, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
 # ------------------------------------------------------------- text ops --
 
 

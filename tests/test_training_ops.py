@@ -30,7 +30,11 @@ def _topk(df):
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     exact = _topk(REGISTRY["cosine_topk_bruteforce"].fn(spark, sf_dir))
-    for name, floor in (("ann_lsh_cosine", 0.2), ("ann_ivf_cosine", 0.2)):
+    for name, floor in (
+        ("ann_lsh_cosine", 0.2),
+        ("ann_ivf_cosine", 0.2),
+        ("ann_pq_adc", 0.2),
+    ):
         approx = _topk(REGISTRY[name].fn(spark, sf_dir))
         hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
         total = sum(len(v) for v in exact.values())
