@@ -869,6 +869,57 @@ def token_count_regex(spark, sf_dir):
 
 
 @register(
+    "doc_chunk_windows",
+    oracle="""
+    SELECT doc_id,
+           CAST(t.i AS BIGINT) AS chunk_id,
+           CAST(t.i * 24 AS BIGINT) AS start_tok,
+           array_to_string(w[t.i * 24 + 1 : t.i * 24 + 32], ' ') AS chunk_text,
+           CAST(least(32, len(w) - t.i * 24) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         UNNEST(generate_series(0, CAST(greatest(0,
+                ceil((len(w) - 32) / 24.0)) AS BIGINT))) AS t(i)
+    WHERE t.i = 0 OR t.i * 24 < len(w) - 8
+    """,
+    tags=("text", "chunk"),
+)
+def doc_chunk_windows(spark, sf_dir):
+    """Overlapping-window document chunking — the step before embedding
+    or long-context packing: each doc splits into 32-token windows
+    with a 24-token stride (8-token overlap so no boundary context is
+    lost; production would use 512/384 — the corpus's ~54-token docs
+    get the same shape at this size). Entirely row-local: tokenize once, explode one small index
+    sequence per doc, slice the shared token array per chunk — no
+    shuffle, output partitioning inherits the scan, and chunk_id/
+    start_tok make the chunks joinable back to spans or embeddings.
+    Tail rule: a final short window exists only if it adds >8 new
+    tokens (else the previous window already covers it)."""
+    W, S = 32, 24  # window, stride (overlap = W - S = 8)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    idx = F.explode(
+        F.expr(
+            f"sequence(0, cast(greatest(0, ceil((size(w) - {W}) / {S}.0)) as bigint))"
+        )
+    ).alias("chunk_id")
+    chunks = base.select("doc_id", "w", idx).filter(
+        (F.col("chunk_id") == 0)
+        | (F.col("chunk_id") * S < F.size("w") - (W - S))
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * S).cast("long").alias("start_tok"),
+        F.array_join(
+            F.slice(F.col("w"), (F.col("chunk_id") * S + 1).cast("int"), W), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(W), F.size("w") - F.col("chunk_id") * S)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@register(
     "doc_winnow_fingerprint",
     oracle="""
     SELECT doc_id, MIN(md5(substr(text, i, 16))) AS winnow_fp
