@@ -212,6 +212,89 @@ def fpp_performance(spark, sf_dir):
     return performance(spark, sf_dir)
 
 
+_CHARGE_SQL = f"""
+    WITH perf AS ({_PERFORMANCE_SQL}),
+    res AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ts_5m,
+             user_id % 5 AS cons,
+             CAST(SUM(CAST(p_raise AS DECIMAL(25,6))) AS DOUBLE) AS raise_residual,
+             CAST(SUM(CAST(p_lower AS DECIMAL(25,6))) AS DOUBLE) AS lower_residual
+      FROM perf GROUP BY 1, 2
+    ),
+    cf AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ts_5m,
+             user_id % 5 AS cons,
+             {oracle_dec_avg("value")} / 100.0 AS contribution_factor
+      FROM events GROUP BY 1, 2
+    ),
+    res_dcf AS (
+      SELECT ts_5m, cons, contribution_factor / 2.0 AS residual_dcf
+      FROM cf WHERE EXTRACT(minute FROM ts_5m) % 10 = 0
+    )
+    SELECT r.cons,
+           CAST(SUM(CAST(r.raise_residual
+                         * COALESCE(d.residual_dcf, 0.5 + r.cons / 10.0)
+                         * (1.0 + r.cons) AS DECIMAL(25,6))) AS DOUBLE)
+             AS raise_charge,
+           CAST(SUM(CAST(r.lower_residual
+                         * COALESCE(d.residual_dcf, 0.5 + r.cons / 10.0)
+                         * (2.0 - r.cons / 10.0) AS DECIMAL(25,6))) AS DOUBLE)
+             AS lower_charge,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM res r
+    LEFT JOIN cf c ON r.ts_5m = c.ts_5m AND r.cons = c.cons
+    LEFT JOIN res_dcf d ON r.ts_5m = d.ts_5m AND r.cons = d.cons
+    GROUP BY r.cons
+"""
+
+
+@register("fpp_interval_charge", oracle=_CHARGE_SQL, tags=("fpp", "J6", "A1", "A2"))
+def fpp_interval_charge(spark, sf_dir):
+    """calcs.md steps 7-11: the money end of the FPP pipeline. 5-min
+    residual summaries (step 6's shape) cascade through left joins to
+    the contribution-factor dim on [interval, constraint] and a SPARSE
+    residual-DCF dim whose gaps fall back to the default CF
+    (`used_dcf = coalesce(residual_dcf, default_cf)` — calcs.md:187-190),
+    then the CF-weighted MW convert to dollars via per-constraint
+    payment/recovery rates and roll up to the charge summary
+    (calcs.md:226-253). constraintid ↔ user_id % 5; the default-CF and
+    both rate dims are bounded per-constraint values, entering as pure
+    expressions/broadcasts — only the CF/DCF joins, keyed [ts_5m, cons],
+    ever shuffle, and they pre-aggregate before joining. DECIMAL
+    accumulation keeps the dollar totals bit-stable cross-engine."""
+    from nemscraper_spark.queries.common import dec_sum
+
+    perf = performance(spark, sf_dir)
+    cons = (F.col("user_id") % 5).alias("cons")
+    res = perf.groupBy(time_bucket("ts", 300).alias("ts_5m"), cons).agg(
+        dec_sum("p_raise", 6).alias("raise_residual"),
+        dec_sum("p_lower", 6).alias("lower_residual"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cf = ev.groupBy(time_bucket("ts", 300).alias("ts_5m"), cons).agg(
+        (dec_avg("value") / 100.0).alias("contribution_factor")
+    )
+    res_dcf = cf.filter(F.minute("ts_5m") % 10 == 0).select(
+        "ts_5m", "cons", (F.col("contribution_factor") / 2.0).alias("residual_dcf")
+    )
+    default_cf = F.lit(0.5) + F.col("cons") / 10.0
+    used_dcf = F.coalesce(F.col("residual_dcf"), default_cf)
+    perf_rate = F.lit(1.0) + F.col("cons")
+    recovery_rate = F.lit(2.0) - F.col("cons") / 10.0
+    joined = res.join(cf, ["ts_5m", "cons"], "left").join(
+        res_dcf, ["ts_5m", "cons"], "left"
+    )
+    return joined.groupBy("cons").agg(
+        dec_sum(F.col("raise_residual") * used_dcf * perf_rate, 6).alias(
+            "raise_charge"
+        ),
+        dec_sum(F.col("lower_residual") * used_dcf * recovery_rate, 6).alias(
+            "lower_charge"
+        ),
+        F.count("*").alias("n_intervals"),
+    )
+
+
 @register(
     "fpp_frequency_measure_ewma",
     # recursive-CTE twin of the EWMA kernel (see ewma_per_entity for
