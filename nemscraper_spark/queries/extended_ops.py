@@ -264,6 +264,82 @@ def join_range_bucketed(spark, sf_dir):
 
 
 @register(
+    "dashboard_state_timeline",
+    oracle="""
+    WITH recent AS (
+      SELECT ts AS start_ts,
+             ts + (1 + user_id % 3) * INTERVAL '1 minute' AS end_ts,
+             user_id % 4 AS thread, event_id
+      FROM events ORDER BY ts DESC, event_id DESC LIMIT 2000
+    ),
+    timeline AS (
+      SELECT DISTINCT ts FROM (
+        SELECT start_ts AS ts FROM recent
+        UNION SELECT end_ts FROM recent
+      )
+    ),
+    j AS (
+      SELECT t.ts, r.thread, r.event_id
+      FROM timeline t
+      LEFT JOIN recent r ON t.ts >= r.start_ts AND t.ts < r.end_ts
+    )
+    SELECT ts,
+           MAX(event_id) FILTER (WHERE thread = 0) AS t0_latest,
+           MAX(event_id) FILTER (WHERE thread = 1) AS t1_latest,
+           MAX(event_id) FILTER (WHERE thread = 2) AS t2_latest,
+           MAX(event_id) FILTER (WHERE thread = 3) AS t3_latest
+    FROM j GROUP BY ts
+    ORDER BY ts DESC LIMIT 200
+    """,
+    tags=("D-SQL", "J5", "A5", "O3", "U3"),
+)
+def dashboard_state_timeline(spark, sf_dir):
+    """The reference's state-timeline dashboard panel END-TO-END
+    (files.json:1081/1185): recent downloads (top-k by end time, O3) →
+    event timeline from the distinct start ∪ end instants (U3) → which
+    download is active at each instant (J5 interval join) → latest
+    filename per worker thread as a filtered-agg pivot (A5) → newest
+    first. The reference runs the interval join as a nested loop over
+    its LIMIT 5000 window; here it goes through the bucketized range
+    join (operators/rangejoin.py) so the SAME composite keeps an
+    equi-join plan when the ledger is a year of downloads instead of a
+    dashboard page — BNLJ absence pinned in test_plan_quality."""
+    from nemscraper_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    recent = (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(2000)
+        .select(
+            F.col("ts").alias("start_ts"),
+            (
+                F.col("ts")
+                + F.make_interval(mins=(1 + F.col("user_id") % 3).cast("int"))
+            ).alias("end_ts"),
+            (F.col("user_id") % 4).alias("thread"),
+            "event_id",
+        )
+    )
+    timeline = (
+        recent.select(F.col("start_ts").alias("ts"))
+        .union(recent.select("end_ts"))
+        .distinct()
+    )
+    joined = bucketed_range_join(
+        timeline, "ts", recent, "start_ts", "end_ts", bucket_seconds=120, how="left"
+    )
+    pivoted = joined.groupBy("ts").agg(
+        *[
+            F.max(F.when(F.col("thread") == k, F.col("event_id"))).alias(
+                f"t{k}_latest"
+            )
+            for k in range(4)
+        ]
+    )
+    return pivoted.orderBy(F.col("ts").desc()).limit(200)
+
+
+@register(
     "skew_salted_join",
     oracle=f"""
     SELECT e.event_type, e.event_id, e.value, d.type_weight

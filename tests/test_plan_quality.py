@@ -88,6 +88,10 @@ def test_range_join_bucketed_avoids_bnlj(spark, sf_dir):
     p = plan(REGISTRY["join_range_bucketed"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # the composite dashboard panel routes its interval join through the
+    # same operator — it must stay BNLJ-free too
+    p2 = plan(REGISTRY["dashboard_state_timeline"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p2
 
 
 def test_fpp_pipeline_join_strategies(spark, sf_dir):
