@@ -44,7 +44,13 @@ def compact_partition(spark: SparkSession, partition_dir: str) -> int:
         return 0
     df = read_evolved(spark, files).repartition(1)
     tmp = partition_dir.rstrip("/") + ".compact-tmp"
-    df.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    # zstd for density at rest (the cold path — ingest writes snappy,
+    # see sources/nemcsv.ingest); the zstd-jni buffer pool is disabled:
+    # with it on, repeated partitioned zstd writes degraded 9s -> 85s
+    # in-session (native buffer growth), without it they hold ~1-4s
+    df.write.mode("overwrite").option("compression", "zstd").option(
+        "parquet.compression.codec.zstd.bufferPool.enabled", "false"
+    ).parquet(tmp)
     # row count from the staged footers (metadata-only, no extra job)
     import pyarrow.parquet as pq
 

@@ -261,15 +261,25 @@ def ingest(
     spark: SparkSession,
     input_path: str | list[str],
     out_dir: str,
-    compression: str = "zstd",
+    compression: str = "snappy",
 ) -> dict[str, int]:
     """Full S4-S7 pipeline: parse → per-table typed frames → Hive
     `date=` partitioned parquet under out_dir/<TABLE>/.
 
     Partition value = date extracted from the source FILENAME
-    (chunk.rs:258-308, 348-351), not from row data. Compression: zstd
-    (the reference's brotli-5 needs an extra codec jar on Spark's
-    classpath — documented deviation, SURVEY.md §7.1).
+    (chunk.rs:258-308, 348-351), not from row data.
+
+    Compression: SNAPPY on the hot ingest sink, dense zstd at
+    compaction — a measured deviation from the reference's brotli-5-
+    everywhere (which needs an extra codec jar on Spark's classpath,
+    SURVEY.md §7.1). On parquet-java's zstd-jni path a partitioned
+    zstd write ran 3-4x slower than snappy per write and degraded
+    monotonically within long sessions (native buffer growth;
+    measured 9s -> 44s -> 85s across repeats at 8x300k rows, while
+    snappy recovered to ~1-2s). The compactor (plans/compact.py)
+    rewrites every partition to zstd with the jni buffer pool off, so
+    data at REST keeps the dense codec — only the write-once hot path
+    pays snappy's ~1.5x size for its ~4x speed and stability.
 
     Returns {table_key: row_count} so callers can run the conservation
     check (verify.rs:56-133: D-row count == parquet row count).
