@@ -139,6 +139,55 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "minhash_signatures_md5",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT doc_id,
+           MIN(md5('0|' || shingle)) AS sig_0,
+           MIN(md5('1|' || shingle)) AS sig_1,
+           MIN(md5('2|' || shingle)) AS sig_2,
+           MIN(md5('3|' || shingle)) AS sig_3,
+           MIN(md5('4|' || shingle)) AS sig_4,
+           MIN(md5('5|' || shingle)) AS sig_5,
+           MIN(md5('6|' || shingle)) AS sig_6,
+           MIN(md5('7|' || shingle)) AS sig_7
+    FROM sh GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def minhash_signatures_md5(spark, sf_dir):
+    """The minhash KERNEL itself, hash-match-checkable: K=8 per-doc
+    min-of-md5('seed|shingle') signatures, identical byte-for-byte in
+    any engine with md5 (P[sig_i equal] = Jaccard — the estimator LSH
+    banding builds on). The production path (minhash_lsh_pairs) swaps
+    md5 for seeded xxhash64 — 8-byte keys, ~4x cheaper — which is
+    engine-specific and therefore rows-only checked; THIS query pins
+    the algorithm cross-engine exactly. One explode + one grouped
+    8-way min-agg: partial aggregation absorbs the shingle fan-out
+    map-side, nothing shuffles but (doc_id, 8 hashes)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+            for i in range(8)
+        ]
+    )
+
+
 @register("minhash_lsh_pairs", oracle=None, tags=("dedup",))
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash + LSH near-dup candidates, verified by exact Jaccard.
