@@ -73,6 +73,33 @@ def main() -> None:
         except Exception:
             pass
 
+    # warm the shared documents tokenize/explode/hash pipeline (JIT +
+    # codegen + first real scan of the table): ~15 corpus queries share
+    # this shape, and without the warm the alphabetically-first heavy
+    # documents query absorbs the whole one-time cost in its timing
+    try:
+        (
+            load_table(spark, sf_dir, "documents")
+            .withColumn("w", F.split("text", " "))
+            .filter(F.size("w") >= 4)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 4),"
+                        " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))"
+                    )
+                ).alias("g")
+            )
+            .select(F.xxhash64("g").alias("h"))
+            .groupBy("h")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name, spec in sorted(REGISTRY.items()):
