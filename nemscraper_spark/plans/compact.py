@@ -3,13 +3,22 @@ reference src/bin/compactor.rs:584-792).
 
 Per `table/date=` partition: resolve the evolved schema from parquet
 footers (metadata only), stream-convert every small file + any previous
-compacted file into ONE file, atomically swap. Spark-first:
+compacted file into ONE file, swap crash-safely. Spark-first:
 
   * evolved schema + casts: sources/evolve.read_evolved
   * single-file output: .repartition(1) scoped to the one partition
-  * atomic swap: dynamic partition overwrite (the engine-level
-    equivalent of the reference's .tmp + rename, compactor.rs:645-749 —
-    Spark's commit protocol stages and renames for us)
+  * swap: manifest-guarded stage → rename-in → delete-sources, the
+    engine-level equivalent of the reference's .tmp + atomic rename
+    (compactor.rs:645-749) — at no point does the partition hold zero
+    copies of any row. A crash mid-swap leaves a manifest that
+    ``recover_partition`` rolls FORWARD deterministically (finish the
+    renames, then delete the sources it lists); until recovery runs,
+    the only possible anomaly is a bounded double-read window (both a
+    source file and its compacted copy present), never loss.
+
+All file ops go through sources/fsutil (pyarrow.fs), so discovery,
+swap and recovery work on file:// and object-store URIs, matching the
+reference's GCS deployment (scripts/gcloud-sync.sh:22-41).
 
 At scale each partition is an independent job; the driver loops (or
 schedules a pool of) partitions exactly like the compactor's rayon
@@ -19,60 +28,143 @@ only partitions with >1 file are touched.
 
 from __future__ import annotations
 
-import glob
-import os
+import json
+import posixpath
 
 from pyspark.sql import SparkSession
 
+from nemscraper_spark.sources import fsutil
 from nemscraper_spark.sources.evolve import read_evolved
+
+MANIFEST_NAME = "_COMPACT_MANIFEST.json"
 
 
 def partitions_needing_compaction(table_root: str, min_files: int = 2) -> list[str]:
-    """Partition dirs with at least ``min_files`` parquet files."""
+    """Partition dirs with at least ``min_files`` parquet files, plus
+    any partition holding an unfinished swap (manifest present)."""
     out = []
-    for part in sorted(glob.glob(os.path.join(table_root, "date=*"))):
-        if len(glob.glob(os.path.join(part, "*.parquet"))) >= min_files:
+    for part in fsutil.list_dirs(table_root, name_prefix="date="):
+        if fsutil.exists(posixpath.join(part, MANIFEST_NAME)):
+            out.append(part)
+        elif len(fsutil.list_files(part, suffix=".parquet")) >= min_files:
             out.append(part)
     return out
 
 
-def compact_partition(spark: SparkSession, partition_dir: str) -> int:
+def recover_partition(partition_dir: str) -> bool:
+    """Finish (roll forward) an interrupted swap. Returns True if a
+    manifest was found and resolved.
+
+    The manifest is written only AFTER staging completes, so every
+    output row exists either under the staging dir or already renamed
+    into the partition. Recovery completes the remaining renames, then
+    deletes exactly the source files the manifest lists."""
+    manifest_path = posixpath.join(partition_dir, MANIFEST_NAME)
+    if not fsutil.exists(manifest_path):
+        return False
+    m = json.loads(fsutil.read_text(manifest_path))
+    staging = m["staging_dir"]
+    final_names = {fn for _, fn in m["outputs"]}
+    for staged_name, final_name in m["outputs"]:
+        staged = posixpath.join(staging, staged_name)
+        final = posixpath.join(partition_dir, final_name)
+        if fsutil.exists(staged) and not fsutil.exists(final):
+            fsutil.move(staged, final)
+        elif fsutil.exists(staged):
+            fsutil.delete_file(staged)  # rename landed, staged copy remains
+    for src_name in m["sources"]:
+        if src_name in final_names:  # paranoia: never delete an output
+            continue
+        fsutil.delete_file(posixpath.join(partition_dir, src_name))
+    fsutil.delete_dir(staging)
+    fsutil.delete_file(manifest_path)
+    return True
+
+
+def compact_partition(
+    spark: SparkSession, partition_dir: str, _crash_after: str | None = None
+) -> int:
     """Rewrite one partition's files as a single evolved-schema file.
-    Returns the row count of the compacted partition."""
-    files = sorted(glob.glob(os.path.join(partition_dir, "*.parquet")))
+    Returns the row count of the compacted partition.
+
+    ``_crash_after`` is a test hook: raise after the named step
+    ("stage" | "manifest" | "move" | "delete") to prove the swap is
+    recoverable at every boundary (tests/test_ingest.py)."""
+    partition_dir = partition_dir.rstrip("/")
+    recover_partition(partition_dir)
+    files = fsutil.list_files(partition_dir, suffix=".parquet")
     if not files:
         return 0
     df = read_evolved(spark, files).repartition(1)
-    tmp = partition_dir.rstrip("/") + ".compact-tmp"
+    # staging dir lives beside the partition with a "." basename prefix
+    # (hidden to Hadoop/Spark listing) and no "=" (so partition-column
+    # inference never parses it): a concurrent table scan never sees
+    # the staged copy as an extra partition mid-swap
+    staging = posixpath.join(
+        posixpath.dirname(partition_dir),
+        ".compact_tmp_" + posixpath.basename(partition_dir).replace("=", "-"),
+    )
+    fsutil.delete_dir(staging)  # stale tmp from a pre-manifest crash
     # zstd for density at rest (the cold path — ingest writes snappy,
     # see sources/nemcsv.ingest); the zstd-jni buffer pool is disabled:
     # with it on, repeated partitioned zstd writes degraded 9s -> 85s
     # in-session (native buffer growth), without it they hold ~1-4s
     df.write.mode("overwrite").option("compression", "zstd").option(
         "parquet.compression.codec.zstd.bufferPool.enabled", "false"
-    ).parquet(tmp)
+    ).parquet(staging)
+    staged = fsutil.list_files(staging, suffix=".parquet")
     # row count from the staged footers (metadata-only, no extra job)
     import pyarrow.parquet as pq
 
-    rows = sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(tmp, "*.parquet"))
-    )
-    # atomic-ish swap mirroring compactor.rs:645-749 (.tmp + rename)
-    import shutil
+    rows = 0
+    for f in staged:
+        with fsutil.open_input(f) as fh:
+            rows += pq.ParquetFile(fh).metadata.num_rows
+    if _crash_after == "stage":
+        raise RuntimeError("injected crash after stage")
+    # commit point: once the manifest is down, recovery rolls FORWARD.
+    # Final names carry a per-run token so a re-compaction's outputs
+    # never collide with the previous compacted file (which is now a
+    # SOURCE — a name collision would let the delete phase remove the
+    # new data).
+    import uuid
 
-    staged = [f for f in glob.glob(os.path.join(tmp, "*.parquet"))]
-    for f in files:
-        os.remove(f)
-    for i, f in enumerate(staged):
-        shutil.move(f, os.path.join(partition_dir, f"compacted-{i}.parquet"))
-    shutil.rmtree(tmp)
+    token = uuid.uuid4().hex[:8]
+    outputs = [
+        (posixpath.basename(f), f"compacted-{token}-{i}.parquet")
+        for i, f in enumerate(staged)
+    ]
+    manifest = {
+        "staging_dir": staging,
+        "outputs": outputs,
+        "sources": [posixpath.basename(f) for f in files],
+    }
+    fsutil.write_text(
+        posixpath.join(partition_dir, MANIFEST_NAME), json.dumps(manifest)
+    )
+    if _crash_after == "manifest":
+        raise RuntimeError("injected crash after manifest")
+    for n, (staged_name, final_name) in enumerate(outputs):
+        fsutil.move(
+            posixpath.join(staging, staged_name),
+            posixpath.join(partition_dir, final_name),
+        )
+        if _crash_after == "move" and n == 0:
+            raise RuntimeError("injected crash mid-move")
+    for n, src_name in enumerate(manifest["sources"]):
+        fsutil.delete_file(posixpath.join(partition_dir, src_name))
+        if _crash_after == "delete" and n == 0:
+            raise RuntimeError("injected crash mid-delete")
+    fsutil.delete_dir(staging)
+    fsutil.delete_file(posixpath.join(partition_dir, MANIFEST_NAME))
     return rows
 
 
 def compact_table(spark: SparkSession, table_root: str) -> dict[str, int]:
     """Compact every eligible partition of one table (the compactor's
-    5-minute cycle body, compactor.rs:63-110)."""
+    5-minute cycle body, compactor.rs:63-110). Unfinished swaps from a
+    previous crash are recovered first (compact_partition rolls them
+    forward before re-reading)."""
     results = {}
     for part in partitions_needing_compaction(table_root):
         results[part] = compact_partition(spark, part)

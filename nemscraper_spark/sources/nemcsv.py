@@ -393,14 +393,9 @@ def _input_stats(input_path: str | list[str]) -> tuple[int, int]:
 
 
 def _parquet_rows(table_root: str) -> int:
-    """Total rows under a table dir from parquet footers (no Spark job)."""
-    import glob as _glob
+    """Total rows under a table dir from parquet footers (no Spark job).
+    Routed through pyarrow.fs so the conservation check also works on
+    object-store URIs (the reference's GCS target, gcloud-sync.sh)."""
+    from nemscraper_spark.sources import fsutil
 
-    import pyarrow.parquet as pq
-
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in _glob.glob(
-            os.path.join(table_root, "**", "*.parquet"), recursive=True
-        )
-    )
+    return fsutil.parquet_rows(table_root)

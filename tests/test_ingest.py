@@ -172,3 +172,89 @@ def test_history_dedup_and_vacuum(spark, tmp_path):
         assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
     keys = {r.filename for r in h.read().collect()}
     assert keys == {"a.zip", "b.zip", "d.zip"}
+
+
+@pytest.fixture()
+def multi_file_partition(spark, tmp_path):
+    """A standalone date= partition with 3 small files (known rows)."""
+    root = str(tmp_path / "TBL")
+    part = os.path.join(root, "date=2022-07-20")
+    for i in range(3):
+        spark.createDataFrame(
+            [(float(i * 10 + j), f"r{i}-{j}") for j in range(10)],
+            "VALUE double, TAG string",
+        ).coalesce(1).write.mode("append").parquet(part)
+    return root, part
+
+
+@pytest.mark.parametrize("crash_after", ["stage", "manifest", "move", "delete"])
+def test_compaction_crash_safe(spark, multi_file_partition, crash_after):
+    """compactor.rs:645-749 durability: a crash at ANY swap boundary
+    loses nothing — every row stays readable mid-crash (possibly
+    double-counted in the bounded manifest→delete window, never
+    absent), and re-running compaction rolls the swap forward to the
+    exact pre-crash answer."""
+    root, part = multi_file_partition
+
+    def rows(df):
+        # column-order-insensitive (compaction normalizes column order
+        # alphabetically, matching the reference's sorted-fields schema)
+        return {frozenset(r.asDict().items()) for r in df.collect()}
+
+    before = rows(spark.read.parquet(root))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_partition(spark, part, _crash_after=crash_after)
+    # mid-crash: no row lost (duplicates allowed in the swap window)
+    assert rows(spark.read.parquet(root)) == before
+    # recovery (implicit in the next compaction pass) converges
+    compact_partition(spark, part)
+    after_df = spark.read.parquet(root)
+    assert rows(after_df) == before
+    assert after_df.count() == len(before)
+    assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    assert not os.path.exists(os.path.join(part, "_COMPACT_MANIFEST.json"))
+    assert not os.path.exists(
+        os.path.join(
+            os.path.dirname(part),
+            ".compact_tmp_" + os.path.basename(part).replace("=", "-"),
+        )
+    )
+
+
+def test_compaction_recompaction_no_name_collision(spark, multi_file_partition):
+    """Second compaction: the previous compacted file is now a SOURCE;
+    unique per-run output names keep the delete phase from removing
+    the fresh output."""
+    root, part = multi_file_partition
+    before = {frozenset(r.asDict().items()) for r in spark.read.parquet(root).collect()}
+    compact_partition(spark, part)
+    # add one more small file, compact again
+    import datetime
+
+    spark.createDataFrame([(999.0, "late")], "VALUE double, TAG string").coalesce(
+        1
+    ).write.mode("append").parquet(part)
+    compact_partition(spark, part)
+    after = {frozenset(r.asDict().items()) for r in spark.read.parquet(root).collect()}
+    late = frozenset(
+        {"VALUE": 999.0, "TAG": "late", "date": datetime.date(2022, 7, 20)}.items()
+    )
+    assert after == before | {late}
+    assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+
+
+def test_compaction_file_uri_root(spark, multi_file_partition):
+    """Discovery + swap + conservation all work on a file:// URI root
+    (object-store code path: pyarrow.fs, no glob/os/shutil)."""
+    root, part = multi_file_partition
+    uri_root = "file://" + root
+    before = spark.read.parquet(root).count()
+    parts = partitions_needing_compaction(uri_root)
+    assert parts == ["file://" + part]
+    rows = compact_partition(spark, parts[0])
+    assert rows == before
+    assert spark.read.parquet(root).count() == before
+    assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    from nemscraper_spark.sources.nemcsv import _parquet_rows
+
+    assert _parquet_rows(uri_root) == before
