@@ -196,7 +196,11 @@ def performance(spark, sf_dir):
     fm = ev.groupBy(time_bucket("ts", 60).alias("ts")).agg(
         (dec_avg("value") - 100.0).alias("fm")
     )
-    joined = dev.join(F.broadcast(fm), "ts", "left")
+    # no broadcast hint: fm is one row per 1-minute bucket over the
+    # queried RANGE — tiny for a daily run but ~5M rows on a multi-year
+    # backfill. AQE sizes the post-agg side at runtime and broadcasts
+    # exactly when it fits (joins.py:118 does the same for this shape).
+    joined = dev.join(fm, "ts", "left")
     return joined.select(
         "ts",
         "user_id",

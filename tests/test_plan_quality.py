@@ -95,13 +95,26 @@ def test_range_join_bucketed_avoids_bnlj(spark, sf_dir):
 
 
 def test_fpp_pipeline_join_strategies(spark, sf_dir):
-    """The flagship pipeline must broadcast every equi-join (forecast/
-    freq sides are bounded at any SF by |buckets x units|): no
-    sort-merge joins; nested-loop only for the two deliberate spine
-    cross joins."""
-    p = plan(REGISTRY["fpp_performance"].fn(spark, sf_dir))
-    assert "SortMergeJoin" not in p
+    """The flagship pipeline's joins must all be equi-joins (nested-loop
+    only for the two deliberate spine cross joins). The freq-measure
+    join carries NO forced broadcast hint — fm grows with the queried
+    time range (~5M rows on a multi-year backfill), so sizing is left
+    to AQE, which broadcast-converts at runtime exactly when the
+    post-agg side fits (same policy as joins.py's forecast join)."""
+    df = REGISTRY["fpp_performance"].fn(spark, sf_dir)
+    p = plan(df)
     assert p.count("BroadcastNestedLoopJoin") <= 2  # spine x units grids
+    # every remaining join is an equi join on its key
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # the fm side must not be hint-pinned: the analyzed plan carries a
+    # ResolvedHint per F.broadcast(). Exactly ONE is sanctioned — the
+    # units dim (distinct user_id, bounded by physical unit count at
+    # any SF, fpp_pipeline.py:107). A second hint means fm got pinned
+    # again.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1
+    # AQE owns the runtime strategy
+    assert "AdaptiveSparkPlan" in p
 
 
 def test_corpus_pipeline_minimal_shuffles(spark, sf_dir):
