@@ -1,10 +1,24 @@
 #!/usr/bin/env python
 """Engine benchmark: run the full queries() suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+compact JSON line:
 
-    {"metric": "suite_wall_clock", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+    {"metric": "suite_wall_clock", "value": <sum of per-query medians>,
+     "unit": "sec", "sf": <sf>, "repeats": N, "warmed": true,
+     "warm_sec": <warm cost>, "queries": {<headline query>: sec, ...},
+     "queries_all_file": "bench_full.json"}
+
+The line is deliberately short (<1 KB): round 1's single 3 KB line was
+truncated by the harness and recorded as unparseable. The complete
+per-query medians and every repeat's raw timings go to
+``bench_full.json`` next to this script.
+
+Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and
+reports the per-query MEDIAN, so a single CPU-steal burst (BASELINE.md
+documents ~60 s near-total steal windows on this box) cannot turn a
+0.3 s projection into a 42 s outlier. Repeats stop early if the suite
+exceeds $SPARK_GRAFT_BENCH_BUDGET_SEC (default 400) so the harness
+never times out; completed repeats still yield medians.
 
 Each query is forced through the `noop` sink so the whole physical plan
 executes (a bare .count() would let Catalyst prune the projections we
@@ -15,24 +29,46 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
 
-_REPO = str(Path(__file__).resolve().parent)
-if _REPO not in sys.path:
-    sys.path.insert(0, _REPO)
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "fpp_performance",
+    "fpp_interval_charge",
+    "ewma_per_entity",
+    "minhash_lsh_pairs",
+    "dedup_groups_lsh",
+    "ann_pq_adc",
+    "nem_ingest_conservation",
+    "nem_compaction_roundtrip",
+    "training_corpus_pipeline",
+)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from nemscraper_spark.session import get_spark
-    from nemscraper_spark.queries import REGISTRY
+def _warm(spark, sf_dir: str) -> float:
+    """One-time costs that would otherwise land inside whichever query
+    happens to run first: python-worker forks, binaryFile/from_csv
+    class loading, the partitioned-parquet committer, per-table file
+    listing + footer reads, and the shared documents tokenize/explode
+    shape (~15 corpus queries reuse it). Disclosed in the output as
+    warm_sec; set SPARK_GRAFT_BENCH_COLD=1 to skip and measure a cold
+    engine."""
+    import tempfile
 
-    spark = get_spark(app_name="nemscraper_spark_bench")
-    # warm the JVM + python workers so per-query numbers measure the
-    # queries, not session/worker startup (the first Arrow stage forks
-    # 32 python processes that each import pandas)
+    from pyspark.sql import functions as F
+
+    from nemscraper_spark.queries.common import TABLES, load_table
+
+    t0 = time.perf_counter()
     spark.range(1).count()
 
     def _noop(batches):
@@ -42,14 +78,6 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         _noop, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-
-    # warm the ingest-path infrastructure (binaryFile source, from_csv
-    # codegen, partitioned-parquet commit protocol): class-loading +
-    # committer init cost ~3s the first time they appear and would
-    # otherwise land inside whichever ingest query runs first
-    import tempfile
-
-    from pyspark.sql import functions as F
 
     with tempfile.TemporaryDirectory(prefix="bench_warm_") as wtmp:
         fp = os.path.join(wtmp, "w.csv")
@@ -62,21 +90,12 @@ def main() -> None:
             "overwrite"
         ).partitionBy("date").parquet(os.path.join(wtmp, "pq"))
 
-    # warm per-table file listing + schema inference (driver-side footer
-    # reads): otherwise whichever query is alphabetically first for a
-    # table pays its one-time planning cost inside its own timing
-    from nemscraper_spark.queries.common import TABLES, load_table
-
     for t in TABLES:
         try:
             load_table(spark, sf_dir, t).schema
         except Exception:
             pass
 
-    # warm the shared documents tokenize/explode/hash pipeline (JIT +
-    # codegen + first real scan of the table): ~15 corpus queries share
-    # this shape, and without the warm the alphabetically-first heavy
-    # documents query absorbs the whole one-time cost in its timing
     try:
         (
             load_table(spark, sf_dir, "documents")
@@ -99,32 +118,72 @@ def main() -> None:
         )
     except Exception:
         pass
+    return round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    t_suite = time.perf_counter()
-    for name, spec in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_suite, 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "400"))
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
+
+    from nemscraper_spark.queries import REGISTRY
+    from nemscraper_spark.session import get_spark
+
+    spark = get_spark(app_name="nemscraper_spark_bench")
+    warm_sec = 0.0 if cold else _warm(spark, sf_dir)
+
+    runs: list[dict[str, float]] = []
+    t_start = time.perf_counter()
+    for _ in range(max(1, repeats)):
+        timings: dict[str, float] = {}
+        for name, spec in sorted(REGISTRY.items()):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        runs.append(timings)
+        if time.perf_counter() - t_start > budget:
+            break
+
+    medians = {
+        name: round(statistics.median(r[name] for r in runs), 3)
+        for name in runs[0]
+    }
+    total = round(sum(medians.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+
+    full = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "repeats": len(runs),
+        "warmed": not cold,
+        "warm_sec": warm_sec,
+        "queries": medians,
+        "runs": runs,
+    }
+    full_path = _REPO / "bench_full.json"
+    full_path.write_text(json.dumps(full, indent=1))
+
+    compact = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "repeats": len(runs),
+        "warmed": not cold,
+        "warm_sec": warm_sec,
+        "queries": {k: medians[k] for k in HEADLINE if k in medians},
+        "queries_all_file": "bench_full.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
