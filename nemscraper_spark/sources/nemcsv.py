@@ -182,6 +182,33 @@ def infer_types(samples: dict[str, str | None]) -> dict[str, str]:
     return plan
 
 
+def sample_query(parsed: DataFrame, table_key: str) -> DataFrame:
+    """Bounded per-table inference sample: filter + limit on the
+    (cached) slice frame. CollectLimit scans partitions incrementally
+    and stops at N rows, so this job shuffles NOTHING and usually
+    touches only the first cached partition(s) — mirroring the
+    reference's "first 1000 rows of one batch" sampling
+    (chunk.rs:320-332). Plan shape pinned in tests/test_plan_quality.py."""
+    return (
+        parsed.filter(F.col("table_key") == table_key)
+        .filter(F.col("line").startswith("D,"))
+        .select("headers", "line")
+        .limit(INFERENCE_SAMPLE_ROWS)
+    )
+
+
+def discover_tables(blocks: DataFrame) -> DataFrame:
+    """Distinct table keys among slices holding >=1 D-line. Partial
+    (map-side) distinct collapses each partition to its local key set
+    before the exchange, so the shuffle carries |tables| x |partitions|
+    tiny rows — never the line data."""
+    return (
+        blocks.filter(F.exists("lines", lambda x: x.startswith("D,")))
+        .select("table_key")
+        .distinct()
+    )
+
+
 def table_frame(parsed: DataFrame, table_key: str, sample=None) -> DataFrame:
     """Project one table's rows out of the segmented scan: JVM-side
     ``from_csv`` tokenization (quote-aware, whole-stage codegen — the
@@ -190,13 +217,8 @@ def table_frame(parsed: DataFrame, table_key: str, sample=None) -> DataFrame:
     import csv as _csv
 
     sub = parsed.filter(F.col("table_key") == table_key)
-    # ONE sample job covers both header discovery and type inference
-    # (was first() + a second limit().collect() — at 2 tables x 2
-    # ingest calls the extra job round-trips dominate small batches);
-    # ingest() pre-collects samples for ALL tables in a single job and
-    # passes them in
     if sample is None:
-        sample = sub.select("headers", "line").limit(INFERENCE_SAMPLE_ROWS).collect()
+        sample = sample_query(parsed, table_key).collect()
     if not sample:
         raise KeyError(f"no rows for table {table_key!r}")
     headers = sample[0]["headers"].split(_HDR_SEP)
@@ -284,8 +306,6 @@ def ingest(
     Returns {table_key: row_count} so callers can run the conservation
     check (verify.rs:56-133: D-row count == parquet row count).
     """
-    from pyspark.sql import Window
-
     blocks = parse_blocks(spark, input_path)
     # a single big file parses as ONE binaryFile task; spread its block
     # SLICES across the cluster before the (explode + from_csv + cast +
@@ -309,25 +329,17 @@ def ingest(
         "src_file", "table_key", "headers", F.explode("lines").alias("line")
     )
     try:
-        # ONE job discovers the table list AND collects each table's
-        # inference sample (first N parsed rows per table)
-        w = Window.partitionBy("table_key").orderBy(
-            F.monotonically_increasing_id()
-        )
-        sample_rows = (
-            parsed.filter(F.col("line").startswith("D,"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= INFERENCE_SAMPLE_ROWS)
-            .select("table_key", "headers", "line")
-            .collect()
-        )
-        samples_by_table: dict[str, list] = {}
-        for r in sample_rows:
-            samples_by_table.setdefault(r["table_key"], []).append(r)
+        # Discovery job: tiny post-partial-distinct shuffle. (The
+        # previous design ranked EVERY D-line with a row_number window
+        # partitioned by table_key: a full-corpus shuffle that also
+        # funneled each table's entire data through one task.)
+        keys = [r[0] for r in discover_tables(blocks).collect()]
 
         written: dict[str, int] = {}
-        for key in sorted(samples_by_table):
-            df = table_frame(parsed, key, sample=samples_by_table[key])
+        for key in sorted(keys):
+            # per-table bounded sample job (filter + CollectLimit on the
+            # cached slice frame — no shuffle, early-exit after N rows)
+            df = table_frame(parsed, key)
             out = df.withColumn("date", date_from_filename(F.col("src_file"))).drop(
                 "src_file"
             )

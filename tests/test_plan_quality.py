@@ -81,6 +81,37 @@ def test_partition_pruning_on_ingest_output(spark, tmp_path):
     assert df.count() == 4
 
 
+def test_ingest_sampler_is_shuffle_free(spark, tmp_path):
+    """The inference sampler must never shuffle line data. Per-table
+    sample = filter + CollectLimit (no Exchange AT ALL — early-exit on
+    the cached slice frame); table discovery = map-side partial
+    distinct, so its one Exchange carries only deduped keys (the
+    round-1 version ranked every D-line through a global window — a
+    full-corpus shuffle, flagged as a 100TB scale-killer)."""
+    from nemscraper_spark.sources.nemcsv import (
+        discover_tables,
+        parse_blocks,
+        parse_files,
+        sample_query,
+    )
+    from tests.test_ingest import NEM_CSV
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with zipfile.ZipFile(landing / "PUBLIC_X_20220720_0001.zip", "w") as zf:
+        zf.writestr("PUBLIC_X_20220720.CSV", NEM_CSV)
+
+    p = plan(sample_query(parse_files(spark, str(landing)), "FPP---UNIT_MW---1"))
+    assert "Exchange" not in p
+    assert "CollectLimit" in p or "GlobalLimit" in p
+
+    pd_ = plan(discover_tables(parse_blocks(spark, str(landing))))
+    # partial aggregate runs BEFORE the exchange: keys are deduped
+    # map-side, the exchange never carries slice/line rows
+    pre_exchange = pd_.split("Exchange")[0]
+    assert "HashAggregate" in pre_exchange or "SortAggregate" in pre_exchange
+
+
 def test_range_join_bucketed_avoids_bnlj(spark, sf_dir):
     """The bucketized range join must plan as an equi-join (sort-merge
     or hash on the bucket key) — never a nested loop over the whole
