@@ -71,37 +71,49 @@ def connected_components(
     """
     spark = edges.sparkSession
 
-    def _persisted_ids():
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(k) for k in jmap.keySet().toArray()}
+    def _checkpoint_rdd_id(df: DataFrame):
+        """Id of the RDD a just-localCheckpoint'ed DataFrame persists.
 
-    def _unpersist(ids):
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in ids:
-            rdd = jmap.get(rid)
-            if rdd is not None:
-                rdd.unpersist(False)
+        Dataset.checkpoint wraps its materialized internal RDD in a
+        LogicalRDD, so the checkpointed (and persisted) RDD is exactly
+        `analyzed.rdd` of the RETURNED frame. Reading it off the frame —
+        instead of diffing the session-global getPersistentRDDs() map
+        before/after, as an earlier version did — keeps this safe under
+        concurrent jobs in the same SparkSession: a global set-diff
+        could sweep (and destroy, lineage being severed) another job's
+        simultaneous localCheckpoint."""
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None  # unknown plan shape: leak the blocks, never guess
 
-    before = _persisted_ids()
+    def _unpersist(rid):
+        if rid is None:
+            return
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # ids this call persisted for the CURRENT round — each round's
-    # checkpoint blocks are freed as soon as the next round's are
-    # materialized. Without this a long-lived session (or a 12-round run
-    # over billions of edges) accumulates every round's edge set in
-    # executor storage memory; only the final round's blocks — which the
-    # returned DataFrame still reads — outlive the call.
-    cur_ids = _persisted_ids() - before
+    # the CURRENT round's checkpoint id — each round's blocks are freed
+    # as soon as the next round's are materialized. Without this a
+    # long-lived session (or a 12-round run over billions of edges)
+    # accumulates every round's edge set in executor storage memory;
+    # only the final round's blocks — which the returned DataFrame
+    # still reads — outlive the call.
+    cur_id = _checkpoint_rdd_id(e)
     prev_sig = None
     for _ in range(max_rounds):
         # lazy checkpoint: the convergence probe below is the action
         # that materializes it — one Spark job per round, not two
-        before = _persisted_ids()
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        new_id = _checkpoint_rdd_id(e)
         # one-row convergence probe: stable (count, xor-of-edge-hashes)
         # means the star set stopped changing. XOR, not SUM: order-
         # independent like sum, but can't hit ANSI long overflow.
@@ -110,8 +122,8 @@ def connected_components(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
-        _unpersist(cur_ids)
-        cur_ids = _persisted_ids() - before
+        _unpersist(cur_id)
+        cur_id = new_id
         if sig == prev_sig:
             break
         prev_sig = sig
