@@ -403,9 +403,13 @@ def decontaminate_train_ngrams(spark, sf_dir):
     train_test_split_hash, so the scan needs no side-channel eval file.
     The distinct test-side n-gram set is small (eval sets always are)
     and enters as a broadcast hash join on xxhash64(ngram) — 8-byte
-    keys, no string shuffle, train side never moves. Output: each
-    contaminated train doc with its count of distinct overlapping
-    4-grams."""
+    keys, no string shuffle, train side never moves. The 64-bit key is
+    a deliberate speed/size trade: a billion distinct test n-grams give
+    ~birthday odds 1e18/2^64 ≈ 3% of ONE spurious (train, test) pair
+    somewhere in the corpus — negligible for contamination FLAGGING.
+    When exactness matters, use decontaminate_train_bloom, whose verify
+    join is on the n-gram string itself. Output: each contaminated
+    train doc with its count of distinct overlapping 4-grams."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     sh = (
         d.withColumn("w", F.split("text", " "))
@@ -466,10 +470,12 @@ def decontaminate_train_bloom(spark, sf_dir):
     4-probe `element_at`+bit-test prunes non-overlapping train n-grams
     INSIDE the scan projection, in whole-stage codegen, before any
     join. Only bloom survivors (true overlaps + ~1% false positives)
-    enter the exact equi-join that removes false positives — so when
-    the eval suite outgrows broadcast size, the verify join shuffles a
-    vanishing fraction of the corpus. A false positive costs a little
-    verify traffic, never a wrong row."""
+    enter the verify equi-join — and that join is on the N-GRAM STRING
+    itself, not its 64-bit hash, so both bloom false positives AND
+    xxhash64 collisions are removed exactly: a false positive costs a
+    little verify traffic, never a wrong row. (Hashes exist only inside
+    the bloom prefilter; the string-keyed broadcast is eval-set sized
+    and only survivor rows — a vanishing corpus fraction — probe it.)"""
     m_bits = 1 << 20
     n_words = m_bits // 64
     k = 4
@@ -489,7 +495,7 @@ def decontaminate_train_bloom(spark, sf_dir):
         )
         .withColumn("h", F.xxhash64("ngram"))
     )
-    test_sh = sh.filter(F.col("bucket") >= 230).select("h").distinct()
+    test_sh = sh.filter(F.col("bucket") >= 230).select("h", "ngram").distinct()
 
     def probes(col):
         # k reseeded 64-bit hashes -> bit positions in [0, m_bits)
@@ -531,8 +537,11 @@ def decontaminate_train_bloom(spark, sf_dir):
     survivors = sh.filter(F.col("bucket") < 204).filter(
         F.forall(positions, _bit_set)
     )
+    # exact verify: string-keyed join (xxhash64 collisions can't leak
+    # through; ngram -> h is functional, so (h, ngram)-distinct is
+    # ngram-distinct)
     return (
-        survivors.join(test_sh, "h")
+        survivors.join(test_sh.select("ngram"), "ngram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
