@@ -25,9 +25,11 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
+import signal
 import sys
-import time
+import threading
 from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent.parent)
@@ -110,6 +112,176 @@ def run_once(spark, workdir: str, feeds: list[str], sf_dir: str | None) -> dict:
     return summary
 
 
+def run_loop(
+    spark,
+    workdir: str,
+    feeds: list[str],
+    sf_dir: str | None,
+    extra_ticks: int = 0,
+    interval_sec: float = 60.0,
+    stop: threading.Event | None = None,
+) -> list[dict]:
+    """The reference's long-running service shape, as one driver loop:
+
+    * every tick is a FULL zips-dir sweep deduped against the processed
+      ledger — run_once re-globs the directory each time, so files that
+      arrive out-of-band (scp'd in, a crashed tick's leftovers, a
+      previously failed ingest that never reached the ledger) are
+      picked up on the next tick. This subsumes the reference's daily
+      re-enqueue sweep (main.rs:286-307): same idempotence contract
+      (ledger-keyed skip), tighter cadence.
+    * SIGINT/SIGTERM stop the loop GRACEFULLY (utils.rs:5-31): the
+      in-flight tick finishes — ingest + ledger append + compaction
+      swap are never interrupted mid-write, so the ledger stays
+      consistent with the parquet on disk — then the loop exits before
+      the next tick. The sleep is an interruptible Event.wait, so an
+      idle loop reacts immediately.
+
+    Returns the per-tick summaries (the driver prints them as JSON).
+    """
+    stop = stop or threading.Event()
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        print(
+            json.dumps({"event": "shutdown_signal", "signal": int(signum)}),
+            flush=True,
+        )
+        stop.set()
+
+    # install only in the main thread (signal.signal raises elsewhere —
+    # tests drive this function directly, sometimes off-thread)
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+    try:
+        summaries = []
+        if not stop.is_set():
+            s = run_once(spark, workdir, feeds, sf_dir)
+            print(json.dumps({"event": "tick", **s}), flush=True)
+            summaries.append(s)
+        for _ in range(extra_ticks):
+            # urls.rs:176-184 poll cadence; wait() returns True on stop
+            if stop.wait(interval_sec):
+                break
+            s = run_once(spark, workdir, feeds, sf_dir)
+            print(json.dumps({"event": "tick", **s}), flush=True)
+            summaries.append(s)
+        if stop.is_set():
+            print(json.dumps({"event": "graceful_stop"}), flush=True)
+        return summaries
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+
+
+def run_streaming(
+    spark,
+    workdir: str,
+    feeds: list[str],
+    sf_dir: str | None,
+    extra_ticks: int = 0,
+    interval_sec: float = 60.0,
+    stop: threading.Event | None = None,
+) -> list[dict]:
+    """--streaming mode: the continuous deployment shape end-to-end on
+    Structured Streaming (SURVEY.md §2.9) instead of the batch loop.
+
+    The file-source checkpoint replaces the processed ledger's dedup
+    role — each ZIP is ingested exactly once across restarts with no
+    ledger hydration (streaming/ingest.py) — while the driver loop
+    keeps the parts a stream can't own: feed polling/downloads into the
+    landing dir, per-tick compaction, FPP outputs, and graceful
+    SIGINT/SIGTERM stop (query.stop() between micro-batches).
+
+    One tick == drain-everything-available (availableNow trigger), so
+    --once is a synchronous, testable unit exactly like the batch mode.
+    """
+    from nemscraper_spark.plans.compact import compact_table
+    from nemscraper_spark.plans.history import TableHistory
+    from nemscraper_spark.sources import fetch
+    from nemscraper_spark.streaming.ingest import start_ingest_stream
+
+    stop = stop or threading.Event()
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        print(
+            json.dumps({"event": "shutdown_signal", "signal": int(signum)}),
+            flush=True,
+        )
+        stop.set()
+
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+
+    zips_dir = os.path.join(workdir, "zips")
+    parquet_dir = os.path.join(workdir, "parquet")
+    history_root = os.path.join(workdir, "history")
+    output_dir = os.path.join(workdir, "output")
+    checkpoint_dir = os.path.join(workdir, "checkpoint")
+    for d in (zips_dir, parquet_dir, history_root, output_dir):
+        os.makedirs(d, exist_ok=True)
+
+    downloaded = TableHistory(spark, history_root, "downloaded")
+    processed = TableHistory(spark, history_root, "processed")
+
+    def _tick() -> dict:
+        summary: dict = {"downloaded": 0, "tables": {}, "compacted": {}}
+        if feeds:
+            seen = {r.filename for r in downloaded.read().collect()}
+            rows = fetch.poll_feeds_once(
+                feeds, zips_dir, already_downloaded=lambda n: n in seen
+            )
+            if rows:
+                downloaded.add(rows)
+            summary["downloaded"] = len(rows)
+        # drain everything currently in the landing dir through the
+        # checkpointed stream; blocks until the micro-batch completes
+        q = start_ingest_stream(
+            spark,
+            zips_dir,
+            parquet_dir,
+            checkpoint_dir,
+            available_now=True,
+            history=processed,
+        )
+        q.awaitTermination()
+        for troot in sorted(glob.glob(os.path.join(parquet_dir, "*"))):
+            if os.path.isdir(troot):
+                res = compact_table(spark, troot)
+                if res:
+                    summary["compacted"][os.path.basename(troot)] = res
+        if sf_dir:
+            from nemscraper_spark.queries.fpp_pipeline import performance
+
+            performance(spark, sf_dir).write.mode("overwrite").option(
+                "compression", "snappy"
+            ).parquet(os.path.join(output_dir, "04_performance.parquet"))
+            summary["outputs"] = 1
+        return summary
+
+    try:
+        summaries = []
+        if not stop.is_set():
+            s = _tick()
+            print(json.dumps({"event": "stream_tick", **s}), flush=True)
+            summaries.append(s)
+        for _ in range(extra_ticks):
+            if stop.wait(interval_sec):
+                break
+            s = _tick()
+            print(json.dumps({"event": "stream_tick", **s}), flush=True)
+            summaries.append(s)
+        if stop.is_set():
+            print(json.dumps({"event": "graceful_stop"}), flush=True)
+        return summaries
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
@@ -117,17 +289,30 @@ def main() -> None:
     ap.add_argument("--landing-only", action="store_true", help="skip polling")
     ap.add_argument("--sf-dir", default=None, help="run FPP outputs over this table dir")
     ap.add_argument("--once", action="store_true")
-    ap.add_argument("--loop", type=int, default=0, help="N extra ticks, 60s apart")
+    ap.add_argument("--loop", type=int, default=0, help="N extra ticks")
+    ap.add_argument("--interval", type=float, default=60.0, help="tick spacing, sec")
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="ingest via the checkpointed Structured Streaming file source "
+        "instead of the ledger-deduped batch loop",
+    )
     args = ap.parse_args()
 
     from nemscraper_spark.session import get_spark
 
     spark = get_spark(app_name="nem_pipeline")
     feeds = [] if args.landing_only else args.feed
-    print(run_once(spark, args.workdir, feeds, args.sf_dir), flush=True)
-    for _ in range(args.loop):
-        time.sleep(60)  # urls.rs:176-184 poll cadence
-        print(run_once(spark, args.workdir, feeds, args.sf_dir), flush=True)
+    runner = run_streaming if args.streaming else run_loop
+    runner(
+        spark,
+        args.workdir,
+        feeds,
+        args.sf_dir,
+        extra_ticks=0 if args.once else args.loop,
+        interval_sec=args.interval,
+    )
+    spark.stop()
 
 
 if __name__ == "__main__":

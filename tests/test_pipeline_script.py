@@ -11,7 +11,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
-from run_pipeline import run_once  # noqa: E402
+from run_pipeline import run_loop, run_once, run_streaming  # noqa: E402
 
 from nemscraper_spark.queries.ingest_ops import _NEM_CSV as NEM_CSV  # noqa: E402
 
@@ -43,3 +43,124 @@ def test_pipeline_once_and_dedup(spark, tmp_path, sf_dir):
     s2 = run_once(spark, work, [feed], None)
     assert s2["downloaded"] == 0
     assert s2["processed"] == 0
+
+
+def test_loop_resweep_picks_up_outofband_zip(spark, tmp_path):
+    """A ZIP dropped straight into <workdir>/zips between ticks (no
+    feed download — the out-of-band arrival the reference's daily
+    re-enqueue sweep exists for, main.rs:286-307) must be ingested on
+    the next tick, and exactly once."""
+    import threading
+
+    work = tmp_path / "work"
+    zips = work / "zips"
+    zips.mkdir(parents=True)
+
+    def _drop(name):
+        with zipfile.ZipFile(zips / name, "w") as zf:
+            zf.writestr(name.replace(".zip", ".CSV"), NEM_CSV)
+
+    _drop("PUBLIC_DISPATCHIS_20220720_0001.zip")
+    stop = threading.Event()
+    ticks = []
+
+    orig_run_once = run_once
+
+    def _spy(*a, **kw):
+        s = orig_run_once(*a, **kw)
+        ticks.append(s)
+        if len(ticks) == 1:
+            _drop("PUBLIC_DISPATCHIS_20220721_0001.zip")  # out-of-band
+        elif len(ticks) >= 3:
+            stop.set()
+        return s
+
+    import run_pipeline as rp
+
+    rp_run_once, rp.run_once = rp.run_once, _spy
+    try:
+        run_loop(
+            spark, str(work), [], None,
+            extra_ticks=10, interval_sec=0.05, stop=stop,
+        )
+    finally:
+        rp.run_once = rp_run_once
+
+    assert ticks[0]["processed"] == 1
+    assert ticks[1]["processed"] == 1  # the swept-in file, next tick
+    assert ticks[2]["processed"] == 0  # ledger idempotence holds
+
+
+def test_sigterm_stops_loop_gracefully(spark, tmp_path):
+    """SIGTERM mid-loop: the in-flight tick completes (ledger stays
+    consistent with parquet on disk) and no further tick starts."""
+    import os as _os
+    import signal as _signal
+    import threading
+
+    work = tmp_path / "work"
+    zips = work / "zips"
+    zips.mkdir(parents=True)
+    with zipfile.ZipFile(zips / "PUBLIC_DISPATCHIS_20220720_0001.zip", "w") as zf:
+        zf.writestr("PUBLIC_DISPATCHIS_202207201800.CSV", NEM_CSV)
+
+    # fire SIGTERM while the loop sleeps between ticks
+    timer = threading.Timer(
+        0.3, lambda: _os.kill(_os.getpid(), _signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        summaries = run_loop(
+            spark, str(work), [], None, extra_ticks=1000, interval_sec=0.5
+        )
+    finally:
+        timer.cancel()
+
+    # stopped long before 1001 ticks; the completed tick ingested the zip
+    assert 1 <= len(summaries) <= 3
+    assert summaries[0]["processed"] == 1
+    # ledger agrees with disk: nothing left to do on a fresh tick
+    s_next = run_once(spark, str(work), [], None)
+    assert s_next["processed"] == 0
+    # pytest's own handlers are restored
+    assert _signal.getsignal(_signal.SIGTERM) is not None
+
+
+def test_streaming_mode_checkpoint_exactly_once(spark, tmp_path):
+    """--streaming: the file-source checkpoint is the dedup set — a
+    drained ZIP is never re-ingested across ticks (or restarts), and a
+    newly arrived ZIP is picked up by the next availableNow drain."""
+    work = tmp_path / "work"
+    zips = work / "zips"
+    zips.mkdir(parents=True)
+
+    def _drop(day):
+        name = f"PUBLIC_DISPATCHIS_{day}_0001.zip"
+        with zipfile.ZipFile(zips / name, "w") as zf:
+            zf.writestr(
+                f"PUBLIC_DISPATCHIS_{day}1800.CSV",
+                NEM_CSV.replace("20220720", day),
+            )
+
+    _drop("20220720")
+    run_streaming(spark, str(work), [], None)
+    table = os.path.join(str(work), "parquet", "FPP---UNIT_MW---1")
+    assert spark.read.parquet(table).count() == 3
+
+    # same file again: checkpoint suppresses re-ingest (no row growth)
+    run_streaming(spark, str(work), [], None)
+    assert spark.read.parquet(table).count() == 3
+
+    # new arrival: next drain ingests exactly the new file's rows
+    _drop("20220721")
+    run_streaming(spark, str(work), [], None)
+    assert spark.read.parquet(table).count() == 6
+    # the processed ledger recorded both files once each
+    from nemscraper_spark.plans.history import TableHistory
+
+    led = TableHistory(spark, os.path.join(str(work), "history"), "processed")
+    names = [r.filename for r in led.read().collect()]
+    assert sorted(names) == [
+        "PUBLIC_DISPATCHIS_20220720_0001.zip",
+        "PUBLIC_DISPATCHIS_20220721_0001.zip",
+    ]
