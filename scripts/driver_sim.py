@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Driver-contract simulator — replicates the external harness exactly:
+a FOREIGN SparkSession (Spark 4 defaults, ANSI ON, only timezone set),
+cwd != /root/repo, `import __spark_entry__`, then
+
+  1. entry(spark).count() > 0
+  2. every queries()[name](spark, sf_dir) collected
+  3. names with an oracle_sql() entry compared vs DuckDB on the same
+     parquet (columns sorted by name, floats %.9e, rows sorted) — the
+     driver's CORRECTNESS gate.
+
+Run it from /tmp (catches cloudpickle by-reference failures in
+Pandas-UDF closures: workers can't import nemscraper_spark when the
+hosting driver runs elsewhere):
+
+    cd /tmp && python /root/repo/scripts/driver_sim.py [--sf DIR] [--only N1,N2]
+
+Exit 0 = all green; prints one line per query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def canon(rows, cols):
+    """Driver-equivalent canonical form: sort columns by name, floats
+    as %.9e, rows sorted."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def fmt(v):
+        if v is None:
+            return "\\N"
+        if isinstance(v, float):
+            return "%.9e" % v
+        if isinstance(v, bool):
+            return str(v).lower()
+        return str(v)
+
+    return sorted("\x1f".join(fmt(r[i]) for i in order) for r in rows)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("driver_sim")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as e
+
+    n = e.entry(spark).count()
+    print(f"entry: {n} rows", flush=True)
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, args.sf)
+            cols = df.columns
+            rows = df.collect()
+        except Exception as ex:
+            fails.append(name)
+            print(f"FAIL {name}: spark err {str(ex).splitlines()[0][:160]}")
+            continue
+        status = f"rows={len(rows)}"
+        if name in oracles:
+            try:
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
+            except Exception as ex:
+                fails.append(name)
+                print(f"FAIL {name}: oracle err {str(ex).splitlines()[0][:160]}")
+                continue
+            ok_rows = len(rows) == len(orows)
+            ok_schema = sorted(cols) == sorted(ocols)
+            ok_hash = ok_rows and ok_schema and (
+                canon(rows, cols) == canon(orows, ocols)
+            )
+            status += f" oracle_rows={len(orows)} schema={ok_schema} hash={ok_hash}"
+            if not (ok_rows and ok_schema and ok_hash):
+                fails.append(name)
+                status = "FAIL " + status
+        print(f"{'ok  ' if name not in fails else ''}{name}: {status} "
+              f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
