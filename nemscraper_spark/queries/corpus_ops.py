@@ -495,13 +495,17 @@ def decontaminate_train_bloom(spark, sf_dir):
         )
         .withColumn("h", F.xxhash64("ngram"))
     )
-    test_sh = sh.filter(F.col("bucket") >= 230).select("h", "ngram").distinct()
+    # bloom build side: 8-byte hashes only (cheap distinct); the verify
+    # side below stays raw strings — LEFT SEMI dedups implicitly, so no
+    # string-wide distinct exchange is ever paid
+    test_h = sh.filter(F.col("bucket") >= 230).select("h").distinct()
+    test_ng = sh.filter(F.col("bucket") >= 230).select("ngram")
 
     def probes(col):
         # k reseeded 64-bit hashes -> bit positions in [0, m_bits)
         return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
 
-    words = test_sh.select(
+    words = test_h.select(
         F.explode(F.array(*probes(F.col("h")))).alias("p")
     ).select(
         F.expr("cast(p div 64 as int)").alias("word"),
@@ -521,7 +525,10 @@ def decontaminate_train_bloom(spark, sf_dir):
     # k probes run inside a single forall() lambda over the reseeded
     # positions (sequence element i hashes identically to the build
     # side's literal seed i — same int value, same type).
-    bm = F.lit(dense)
+    # The literal itself enters as ONE SQL-text expr — F.lit(list)
+    # converts element-by-element over py4j (measured 9.2 s for these
+    # 16 K longs); the parser builds the same foldable array in ~0.03 s.
+    bm = F.expr("array(" + ",".join(f"{v}L" for v in dense) + ")")
     positions = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.pmod(F.xxhash64(F.col("h"), i), F.lit(m_bits)),
@@ -537,11 +544,14 @@ def decontaminate_train_bloom(spark, sf_dir):
     survivors = sh.filter(F.col("bucket") < 204).filter(
         F.forall(positions, _bit_set)
     )
-    # exact verify: string-keyed join (xxhash64 collisions can't leak
-    # through; ngram -> h is functional, so (h, ngram)-distinct is
-    # ngram-distinct)
+    # exact verify: string-keyed LEFT SEMI (xxhash64 collisions can't
+    # leak through). Semi against the RAW test stream — the hash-join
+    # build side dedups by key on its own, so survivors-in-test counts
+    # come out identical to an inner join against a distinct side,
+    # minus the distinct's shuffle. Survivor rows are already
+    # per-doc-distinct ngrams (array_distinct upstream).
     return (
-        survivors.join(test_sh.select("ngram"), "ngram")
+        survivors.join(test_ng, "ngram", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
