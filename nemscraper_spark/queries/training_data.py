@@ -1440,3 +1440,111 @@ def embedding_quantize_int8(spark, sf_dir):
         .cast("int")
     )
     return exploded.select("vec_id", F.col("dim").cast("int").alias("dim"), q.alias("q"), "amax")
+
+
+@register(
+    "quality_filter_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(nc - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$')))
+                AS DOUBLE) / len(w) AS alpha_frac,
+           CAST(len(list_intersect(list_distinct(w),
+                ['the','a','and','of','to'])) AS BIGINT) AS stop_hits,
+           CAST(CASE WHEN len(w) BETWEEN 50 AND 100000
+                 AND nc - (len(w) - 1) BETWEEN 3 * len(w) AND 10 * len(w)
+                 AND len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$')))
+                     * 5 >= len(w) * 4
+                 AND len(list_intersect(list_distinct(w),
+                     ['the','a','and','of','to'])) >= 2
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def quality_filter_gopher(spark, sf_dir):
+    """Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1):
+    per-document rule diagnostics plus the keep/drop decision —
+    distinct from text_quality_score, which emits a continuous score.
+
+    Rules (the subset expressible on this corpus's word-soup text):
+    word count in [50, 1e5]; mean word length in [3, 10] chars;
+    >= 80% purely-alphabetic words; >= 2 distinct common stopwords
+    present (the "symbol/boilerplate page" tell).
+
+    Scale/parity design: one row-local projection — no shuffle, no
+    Python, every rule in whole-stage codegen. All threshold tests run
+    in INTEGER arithmetic (e.g. alpha_cnt*5 >= n*4 instead of
+    frac >= 0.8) so the keep bit can't drift between engines on a
+    float boundary; the reported mean/frac columns are plain IEEE
+    doubles computed identically in both."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w).cast("long")
+    nc = F.length("text").cast("long")
+    # single-space-separated text: total word chars = nc - (n-1)
+    word_chars = nc - (n - F.lit(1))
+    alpha_cnt = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")]),
+        )
+    ).cast("long")
+    keep = (
+        n.between(50, 100000)
+        & word_chars.between(3 * n, 10 * n)
+        & (alpha_cnt * 5 >= n * 4)
+        & (stop_hits >= 2)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n.alias("n_words"),
+        (word_chars.cast("double") / n).alias("mean_word_len"),
+        (alpha_cnt.cast("double") / n).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("dedup", "stats"),
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplication report — the mixture-health panel a
+    corpus pipeline watches before weighting sources (a crawl snapshot
+    with a 40% dup rate gets down-weighted or re-crawled, not
+    resampled).
+
+    Scale: COUNT(DISTINCT md5(text)) expands to a two-level aggregate
+    keyed (source, hash) with map-side partials — linear, no row wider
+    than a hash ever shuffles, skew-immune (the inner key includes the
+    hash). Content identity via md5 so Spark and DuckDB agree
+    byte-for-byte."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    n = F.count("*").cast("long")
+    u = F.countDistinct(F.md5("text")).cast("long")
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        u.alias("n_unique"),
+        (n - u).alias("n_dup_rows"),
+        ((n - u).cast("double") / n).alias("dup_rate"),
+    )
