@@ -37,7 +37,13 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def run_once(spark, workdir: str, feeds: list[str], sf_dir: str | None) -> dict:
+def run_once(
+    spark,
+    workdir: str,
+    feeds: list[str],
+    sf_dir: str | None,
+    mirror: str | None = None,
+) -> dict:
     """One tick: returns a summary dict of what moved."""
     from nemscraper_spark.plans.compact import compact_table
     from nemscraper_spark.plans.history import TableHistory
@@ -88,6 +94,13 @@ def run_once(spark, workdir: str, feeds: list[str], sf_dir: str | None) -> dict:
             if res:
                 summary["compacted"][os.path.basename(troot)] = res
 
+    # 3b. mirror the compacted tree to the bucket (S15 — the
+    #     reference's gcloud-sync sidecar, scripts/gcloud-sync.sh:22-41)
+    if mirror:
+        from nemscraper_spark.sources.sync import mirror_tree
+
+        summary["mirror"] = mirror_tree(parquet_dir, mirror)
+
     # 4. analytics outputs (crunch.rs:39-82's 01..05 parquet), snappy
     #    like the reference's hot outputs (crunch.rs:163-166)
     if sf_dir:
@@ -120,6 +133,7 @@ def run_loop(
     extra_ticks: int = 0,
     interval_sec: float = 60.0,
     stop: threading.Event | None = None,
+    mirror: str | None = None,
 ) -> list[dict]:
     """The reference's long-running service shape, as one driver loop:
 
@@ -157,14 +171,14 @@ def run_loop(
     try:
         summaries = []
         if not stop.is_set():
-            s = run_once(spark, workdir, feeds, sf_dir)
+            s = run_once(spark, workdir, feeds, sf_dir, mirror=mirror)
             print(json.dumps({"event": "tick", **s}), flush=True)
             summaries.append(s)
         for _ in range(extra_ticks):
             # urls.rs:176-184 poll cadence; wait() returns True on stop
             if stop.wait(interval_sec):
                 break
-            s = run_once(spark, workdir, feeds, sf_dir)
+            s = run_once(spark, workdir, feeds, sf_dir, mirror=mirror)
             print(json.dumps({"event": "tick", **s}), flush=True)
             summaries.append(s)
         if stop.is_set():
@@ -183,6 +197,7 @@ def run_streaming(
     extra_ticks: int = 0,
     interval_sec: float = 60.0,
     stop: threading.Event | None = None,
+    mirror: str | None = None,
 ) -> list[dict]:
     """--streaming mode: the continuous deployment shape end-to-end on
     Structured Streaming (SURVEY.md §2.9) instead of the batch loop.
@@ -253,6 +268,10 @@ def run_streaming(
                 res = compact_table(spark, troot)
                 if res:
                     summary["compacted"][os.path.basename(troot)] = res
+        if mirror:
+            from nemscraper_spark.sources.sync import mirror_tree
+
+            summary["mirror"] = mirror_tree(parquet_dir, mirror)
         if sf_dir:
             from nemscraper_spark.queries.fpp_pipeline import performance
 
@@ -292,6 +311,12 @@ def main() -> None:
     ap.add_argument("--loop", type=int, default=0, help="N extra ticks")
     ap.add_argument("--interval", type=float, default=60.0, help="tick spacing, sec")
     ap.add_argument(
+        "--mirror",
+        default=None,
+        help="mirror the compacted tree to this URI after each tick "
+        "(file:// gs:// s3:// — the reference's gcloud-sync sidecar)",
+    )
+    ap.add_argument(
         "--streaming",
         action="store_true",
         help="ingest via the checkpointed Structured Streaming file source "
@@ -311,6 +336,7 @@ def main() -> None:
         args.sf_dir,
         extra_ticks=0 if args.once else args.loop,
         interval_sec=args.interval,
+        mirror=args.mirror,
     )
     spark.stop()
 

@@ -126,6 +126,60 @@ def test_sigterm_stops_loop_gracefully(spark, tmp_path):
     assert _signal.getsignal(_signal.SIGTERM) is not None
 
 
+def test_mirror_sink_rsync_semantics(tmp_path):
+    """S15 mirror (sources/sync.py): incremental copy, tmp/staging
+    exclusion, unmatched-destination deletion, torn-object safety —
+    the gcloud-sync.sh contract on a file:// destination."""
+    from nemscraper_spark.sources.sync import mirror_tree
+
+    src = tmp_path / "src"
+    (src / "T1" / "date=2022-07-20").mkdir(parents=True)
+    (src / "T1" / "date=2022-07-20" / "a.parquet").write_bytes(b"AAAA")
+    (src / "T1" / "date=2022-07-20" / "junk.tmp").write_bytes(b"X")
+    (src / "T1" / ".staging-x" / "b.parquet").mkdir(parents=True, exist_ok=True)
+    dst = f"file://{tmp_path}/dst"
+
+    s1 = mirror_tree(str(src), dst)
+    assert s1 == {"copied": 1, "skipped": 0, "deleted": 0}
+    assert (tmp_path / "dst" / "T1" / "date=2022-07-20" / "a.parquet").read_bytes() == b"AAAA"
+    # excluded: tmp file and dot-staging dir never ship
+    assert not (tmp_path / "dst" / "T1" / "date=2022-07-20" / "junk.tmp").exists()
+    assert not (tmp_path / "dst" / "T1" / ".staging-x").exists()
+
+    # idempotent second pass
+    assert mirror_tree(str(src), dst) == {"copied": 0, "skipped": 1, "deleted": 0}
+
+    # size change -> recopy; removed source -> destination delete
+    (src / "T1" / "date=2022-07-20" / "a.parquet").write_bytes(b"BBBBBB")
+    (tmp_path / "dst" / "T1" / "stale.parquet").write_bytes(b"OLD")
+    s3 = mirror_tree(str(src), dst)
+    assert s3 == {"copied": 1, "skipped": 0, "deleted": 1}
+    assert (tmp_path / "dst" / "T1" / "date=2022-07-20" / "a.parquet").read_bytes() == b"BBBBBB"
+    assert not (tmp_path / "dst" / "T1" / "stale.parquet").exists()
+
+
+def test_pipeline_tick_mirrors_compacted_tree(spark, tmp_path):
+    """--mirror: after ingest+compaction the tick ships the parquet
+    tree to the destination URI; a second tick ships nothing."""
+    work = tmp_path / "work"
+    zips = work / "zips"
+    zips.mkdir(parents=True)
+    with zipfile.ZipFile(zips / "PUBLIC_DISPATCHIS_20220720_0001.zip", "w") as zf:
+        zf.writestr("PUBLIC_DISPATCHIS_202207201800.CSV", NEM_CSV)
+    dst = f"file://{tmp_path}/bucket"
+
+    s1 = run_once(spark, str(work), [], None, mirror=dst)
+    assert s1["mirror"]["copied"] >= 1
+    mirrored = spark.read.parquet(
+        f"{tmp_path}/bucket/FPP---UNIT_MW---1"
+    )
+    assert mirrored.count() == 3
+
+    s2 = run_once(spark, str(work), [], None, mirror=dst)
+    assert s2["mirror"]["copied"] == 0
+    assert s2["mirror"]["deleted"] == 0
+
+
 def test_streaming_mode_checkpoint_exactly_once(spark, tmp_path):
     """--streaming: the file-source checkpoint is the dedup set — a
     drained ZIP is never re-ingested across ticks (or restarts), and a

@@ -184,6 +184,31 @@ def test_redaction_is_shuffle_free_jvm_projection(spark, sf_dir):
     assert "text" in read_schema and "n_chars" not in read_schema
 
 
+def test_quality_filter_is_shuffle_free_projection(spark, sf_dir):
+    """Gopher rule filter is row-local: no Exchange, no Python eval,
+    and the scan reads only the three referenced columns."""
+    p = plan(REGISTRY["quality_filter_gopher"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_dedup_rate_distinct_is_two_level(spark, sf_dir):
+    """COUNT(DISTINCT md5) must expand to the two-level aggregate —
+    partial aggregation on (source, hash) before any exchange, so no
+    raw text row ever shuffles."""
+    p = plan(REGISTRY["dedup_rate_by_source"].fn(spark, sf_dir))
+    # partial aggregation on (source, md5) runs BEFORE the hash
+    # exchange (the earlier RoundRobin exchange is fan_out's local-test
+    # parallelism shim, a guarded no-op on real clusters)
+    assert "partial_count" in p.split("hashpartitioning(source")[0]
+    assert "hashpartitioning(source" in p
+    # exactly the two aggregate exchanges (the (source, md5) level and
+    # the source level) + fan_out's round-robin — nothing else
+    assert p.count("ENSURE_REQUIREMENTS") <= 2
+
+
 def test_mixture_resample_is_shuffle_free(spark, sf_dir):
     """Hash-rate downsampling is a pure function of the row — any
     Exchange in this plan is a scale regression."""
