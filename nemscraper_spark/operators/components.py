@@ -111,7 +111,10 @@ def connected_components(
     prev_sig = None
     for _ in range(max_rounds):
         # lazy checkpoint: the convergence probe below is the action
-        # that materializes it — one Spark job per round, not two
+        # that materializes it — one Spark job per round, not two.
+        # (Batching TWO star pairs per checkpoint was tried and is
+        # ~1.5-3x SLOWER: each star consumes its input twice, so the
+        # un-checkpointed first pair re-executes ~4x inside the second.)
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_id = _checkpoint_rdd_id(e)
         # one-row convergence probe: stable (count, xor-of-edge-hashes)
