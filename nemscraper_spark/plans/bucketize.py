@@ -21,9 +21,30 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 32,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    """Persist ``df`` bucketed (and bucket-sorted) on ``bucket_col``.
+
+    Pre-shuffles onto the bucket hash first (the same Murmur3
+    HashPartitioning the bucket spec uses), so each write task owns
+    exactly one bucket and emits ONE file per bucket. Without it every
+    task writes a sliver of every bucket — num_tasks x n_buckets small
+    files — and multi-file buckets void the sortBy guarantee (Spark
+    >= 3.0 ignores bucket sort order at scan unless
+    ``spark.sql.legacy.bucketedTableScanOutputOrdering`` is set,
+    precisely because multi-file buckets can't promise it).
+
+    ``path`` makes the table external (data at ``path``, bucket
+    metadata in the catalog — the metadata is what lets Catalyst elide
+    the Exchange later)."""
+    writer = (
+        df.repartition(n_buckets, bucket_col)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+    )
     writer = writer.sortBy(sort_col or bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 

@@ -267,52 +267,6 @@ def test_keep_canonical_survivor_join_is_equi(spark, sf_dir):
     assert "Join" in p
 
 
-def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
-    """plans/bucketing.py: after paying the one-time bucketed write,
-    an equi-join on the bucket key must plan with ZERO Exchange on
-    either side — the 100TB fact-to-fact join layout. A plain (unbucketed)
-    join of the same frames must show the shuffles this elides."""
-    from nemscraper_spark.plans.bucketing import colocated_join, write_bucketed
-    from nemscraper_spark.queries.common import load_table
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumnRenamed("o_orderkey", "l_orderkey")
-
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        # at sf0.1 both sides fit a broadcast, which would mask the
-        # layout under test; at real scale neither side does — force
-        # the fact-to-fact shape the bucketing exists for
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        write_bucketed(li, "b_li", "l_orderkey", 8, path=str(tmp_path / "b_li"))
-        write_bucketed(
-            orders, "b_ord", "l_orderkey", 8, path=str(tmp_path / "b_ord")
-        )
-        joined = colocated_join(spark, "b_li", "b_ord", "l_orderkey")
-        p = plan(joined)
-        assert "SortMergeJoin" in p
-        assert "Exchange" not in p
-        # NOTE: a task-local Sort remains — Spark >= 3.0 ignores bucket
-        # sort order on scan unless the single-file-per-bucket legacy
-        # flag is set (SPARK-28067 family). The Exchange elision is the
-        # network win bucketing exists for; the local sort is CPU-only.
-        # result parity with the plain join (which DOES shuffle)
-        plain = li.join(orders, "l_orderkey")
-        assert joined.count() == plain.count()
-        assert "Exchange" in plan(plain)
-        # same-key aggregation also rides the bucketing: no Exchange
-        agg = spark.table("b_li").groupBy("l_orderkey").count()
-        assert "Exchange" not in plan(agg)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP TABLE IF EXISTS b_li")
-        spark.sql("DROP TABLE IF EXISTS b_ord")
-
-
 def test_q3_topk_and_pushdown(spark, sf_dir):
     """Q3's LIMIT must be TakeOrderedAndProject (no global sort) and the
     date/segment filters must reach the parquet scans."""
