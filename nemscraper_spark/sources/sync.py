@@ -9,11 +9,14 @@ mirror runs against ``file://`` (how the tests drive it), ``gs://`` or
 ``s3://`` — pyarrow resolves the scheme, no SDK-specific code here.
 
 Semantics match the reference flags:
-  * incremental — a file is copied only when missing at the
-    destination or of different size (rsync's quick check; the
+  * incremental — a file is copied when missing at the destination,
+    of different size, or with a source mtime NEWER than the
+    destination's (rsync's quick check: a same-size rewrite is caught
+    because the destination's mtime is the time of OUR last copy; the
     reference uses checksums, but GCS exposes those as metadata while
-    generic stores don't — size is the portable variant and parquet
-    rewrites virtually never keep the byte count);
+    generic stores don't — size+mtime is the portable variant, and a
+    same-size, not-newer, different-content file is undetectable by
+    construction, exactly as with rsync without --checksum);
   * ``--delete-unmatched-destination-objects`` — destination files
     with no source counterpart are removed (compaction replaced them);
   * ``--exclude tmp/staging`` — ``*.tmp`` files and dot-prefixed
@@ -40,15 +43,16 @@ from nemscraper_spark.sources import fsutil
 _COPY_CHUNK = 8 * 1024 * 1024
 
 
-def _rel_files(root: str) -> dict[str, int]:
-    """{relative path: size} for regular files under root, excluding
-    *.tmp files and any path component that starts with a dot
-    (hidden/staging dirs)."""
+def _rel_files(root: str) -> dict[str, tuple]:
+    """{relative path: (size, mtime)} for regular files under root,
+    excluding *.tmp files and any path component that starts with a
+    dot (hidden/staging dirs). mtime is None where the filesystem
+    doesn't report one."""
     fs, local, _ = fsutil.get_fs(root)
     import pyarrow.fs as pafs
 
     sel = pafs.FileSelector(local, recursive=True, allow_not_found=True)
-    out: dict[str, int] = {}
+    out: dict[str, tuple] = {}
     base = local.rstrip("/")
     for info in fs.get_file_info(sel):
         if info.type != pafs.FileType.File:
@@ -58,8 +62,22 @@ def _rel_files(root: str) -> dict[str, int]:
             continue
         if any(part.startswith(".") for part in rel.split("/")):
             continue
-        out[rel] = info.size
+        out[rel] = (info.size, info.mtime)
     return out
+
+
+def _needs_copy(src_meta: tuple, dst_meta: tuple | None) -> bool:
+    if dst_meta is None:
+        return True
+    s_size, s_mtime = src_meta
+    d_size, d_mtime = dst_meta
+    if s_size != d_size:
+        return True
+    # same size: recopy only when the source is strictly newer than our
+    # last copy of it (rsync quick-check semantics)
+    if s_mtime is not None and d_mtime is not None and s_mtime > d_mtime:
+        return True
+    return False
 
 
 def _copy_file(src_root: str, dst_root: str, rel: str) -> None:
@@ -91,8 +109,8 @@ def mirror_tree(
     dst_files = _rel_files(dst_root)
 
     copied = skipped = deleted = 0
-    for rel, size in sorted(src_files.items()):
-        if dst_files.get(rel) == size:
+    for rel, meta in sorted(src_files.items()):
+        if not _needs_copy(meta, dst_files.get(rel)):
             skipped += 1
             continue
         _copy_file(src_root, dst_root, rel)
