@@ -299,6 +299,58 @@ def fpp_interval_charge(spark, sf_dir):
     )
 
 
+_ACTUAL_DEV_SQL = f"""
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS ts, user_id,
+             {oracle_dec_avg("value")} - 100.0 AS deviation_value
+      FROM events GROUP BY 1, 2
+"""
+
+_ACTUAL_PERFORMANCE_SQL = f"""
+    WITH dev AS ({_ACTUAL_DEV_SQL}),
+    fm AS ({_FREQ_MEASURE_SQL})
+    SELECT d.ts, d.user_id, d.deviation_value, f.fm,
+           CASE WHEN f.fm < 0 THEN f.fm ELSE 0.0 END * d.deviation_value AS p_lower,
+           CASE WHEN f.fm > 0 THEN f.fm ELSE 0.0 END * d.deviation_value AS p_raise
+    FROM dev d LEFT JOIN fm f ON d.ts = f.ts
+"""
+
+
+def actual_performance(spark, sf_dir):
+    """crunch's 05_actual_performance: the SAME generic performance
+    calculation as step 4 (run_performance_calculation,
+    crunch.rs:93-176 — one function, two deviation sources) fed with
+    the RECORDED deviations instead of the hypothetical
+    measured-minus-reference ones. The reference reads DEVIATION_MW
+    straight off UNIT_MW (crunch.rs:298-321); on the events proxy the
+    recorded per-unit deviation is the 1-min DECIMAL-exact average of
+    value minus the 100.0 setpoint."""
+    ev = load_table(spark, sf_dir, "events")
+    dev = ev.groupBy(time_bucket("ts", 60).alias("ts"), "user_id").agg(
+        (dec_avg("value") - 100.0).alias("deviation_value")
+    )
+    fm = ev.groupBy(time_bucket("ts", 60).alias("ts")).agg(
+        (dec_avg("value") - 100.0).alias("fm")
+    )
+    joined = dev.join(fm, "ts", "left")
+    return joined.select(
+        "ts",
+        "user_id",
+        "deviation_value",
+        "fm",
+        (F.when(F.col("fm") < 0, F.col("fm")).otherwise(0.0) * F.col("deviation_value")).alias("p_lower"),
+        (F.when(F.col("fm") > 0, F.col("fm")).otherwise(0.0) * F.col("deviation_value")).alias("p_raise"),
+    )
+
+
+@register(
+    "fpp_actual_performance",
+    oracle=_ACTUAL_PERFORMANCE_SQL,
+    tags=("fpp", "P7", "J1"),
+)
+def fpp_actual_performance(spark, sf_dir):
+    return actual_performance(spark, sf_dir)
+
+
 @register(
     "fpp_frequency_measure_ewma",
     # recursive-CTE twin of the EWMA kernel (see ewma_per_entity for

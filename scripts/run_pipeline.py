@@ -105,20 +105,25 @@ def run_once(
     #    like the reference's hot outputs (crunch.rs:163-166)
     if sf_dir:
         from nemscraper_spark.queries.fpp_pipeline import (
+            actual_performance,
+            fpp_frequency_measure_ewma,
             performance,
             reference_trajectory,
             unit_deviations,
         )
 
+        # the full crunch output set 01..05 (crunch.rs:39-82)
         for name, df in (
+            ("01_frequency_measure", fpp_frequency_measure_ewma(spark, sf_dir)),
             ("02_reference_trajectory", reference_trajectory(spark, sf_dir)),
             ("03_unit_deviations", unit_deviations(spark, sf_dir)),
             ("04_performance", performance(spark, sf_dir)),
+            ("05_actual_performance", actual_performance(spark, sf_dir)),
         ):
             df.write.mode("overwrite").option("compression", "snappy").parquet(
                 os.path.join(output_dir, f"{name}.parquet")
             )
-        summary["outputs"] = 3
+        summary["outputs"] = 5
 
     downloaded.vacuum()
     processed.vacuum()

@@ -35,7 +35,7 @@ def test_pipeline_once_and_dedup(spark, tmp_path, sf_dir):
     assert s1["downloaded"] == 1
     assert s1["processed"] == 1
     assert s1["tables"]["FPP---UNIT_MW---1"] == 3
-    assert s1["outputs"] == 3
+    assert s1["outputs"] == 5
     out = os.path.join(work, "output", "04_performance.parquet")
     assert spark.read.parquet(out).count() > 0
 
