@@ -1548,3 +1548,160 @@ def dedup_rate_by_source(spark, sf_dir):
         (n - u).alias("n_dup_rows"),
         ((n - u).cast("double") / n).alias("dup_rate"),
     )
+
+
+@register("ann_ivfpq_adc", oracle=None, tags=("similarity", "quantize"))
+def ann_ivfpq_adc(spark, sf_dir):
+    """IVF-PQ with asymmetric distance — the FAISS IVFADC composite
+    the ann_pq_adc docstring promises: a coarse IVF quantizer prunes
+    each query to nprobe=2 inverted lists, then PQ codes over the
+    RESIDUALS (vector minus its list centroid) re-rank the candidates
+    with per-(query, list) lookup tables. Residual encoding is what
+    makes the composition worth it: within a list the residual cloud
+    is tighter than the raw vectors, so the same 8-byte code carries
+    more precision than flat PQ.
+
+    Distributed shape (billion-vector layout): coarse centroids AND
+    residual codebooks train on the same driver-side deterministic
+    sample (first 256 vectors, 2 Lloyd rounds, first-k seeds — the
+    standard FAISS train-on-sample recipe; both artifacts are tiny by
+    construction and re-enter the plan inside the encode closure).
+    The corpus-scale passes — encode to (cid, 8 bytes), ADC-score —
+    run as Arrow-batched numpy kernels over mapInPandas with no
+    shuffle until the final per-query top-k window; candidates outside
+    a query's probed lists are skipped inside the kernel, so scan work
+    per query is ~nprobe/k of the corpus. Recall floor vs the exact
+    brute force pinned in tests/test_training_ops.py."""
+    from pyspark.sql import Window
+
+    KC, M, SUB, K = 8, 8, 8, 16  # coarse lists; PQ subspaces x entries
+    e = _emb_sized(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    import numpy as np
+
+    sample = np.stack(
+        [
+            np.asarray(r.e, dtype=np.float64)
+            for r in sorted(e.filter(F.col("vec_id") < 256).collect())
+        ]
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+
+    # coarse quantizer on the sample (first-KC seed, 2 Lloyd rounds,
+    # max-dot assignment with ties -> lower cid)
+    C = sample[:KC].copy()
+    for _ in range(2):
+        near = np.lexsort(
+            (np.tile(np.arange(KC), (len(sample), 1)), -(sample @ C.T)), axis=1
+        )[:, 0]
+        for c in range(KC):
+            if (near == c).any():
+                C[c] = sample[near == c].mean(axis=0)
+    near = np.lexsort(
+        (np.tile(np.arange(KC), (len(sample), 1)), -(sample @ C.T)), axis=1
+    )[:, 0]
+
+    # residual PQ codebooks on the sample residuals
+    resid = sample - C[near]
+    books = []
+    for m in range(M):
+        Xs = resid[:, m * SUB : (m + 1) * SUB]
+        cb = Xs[:K].copy()
+        for _ in range(2):
+            d2 = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            nr = d2.argmin(axis=1)
+            for c in range(K):
+                if (nr == c).any():
+                    cb[c] = Xs[nr == c].mean(axis=0)
+        books.append([[float(x) for x in row] for row in cb])
+    cmat = [[float(x) for x in row] for row in C]
+
+    def encode_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cm = np.asarray(cmat, dtype=np.float64)
+        B = np.asarray(books, dtype=np.float64)  # (M, K, SUB)
+        kc = Cm.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cid = np.lexsort(
+                (np.tile(np.arange(kc), (len(X), 1)), -(X @ Cm.T)), axis=1
+            )[:, 0]
+            R = X - Cm[cid]
+            codes = np.empty((len(X), B.shape[0]), dtype=np.int64)
+            for m in range(B.shape[0]):
+                Rs = R[:, m * SUB : (m + 1) * SUB]
+                d2 = ((Rs[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cid": cid.astype("int64"),
+                    "codes": [list(map(int, c)) for c in codes],
+                }
+            )
+
+    encoded = e.mapInPandas(
+        encode_fn, schema="vec_id long, cid long, codes array<int>"
+    )
+
+    # per-(query, probed-list) ADC tables from the EXACT query vectors
+    # (10 queries x nprobe x M x K floats — tiny); queries sit in the
+    # training sample by construction (vec_id < 10 < 256)
+    qtables = {}  # (q, cid) -> (M, K) table
+    qn = sample[:10]
+    q_probe = np.lexsort(
+        (np.tile(np.arange(KC), (len(qn), 1)), -(qn @ C.T)), axis=1
+    )[:, :2]
+    for qi in range(len(qn)):
+        for cid in q_probe[qi]:
+            qr = qn[qi] - C[cid]
+            t = np.empty((M, K))
+            for m in range(M):
+                qs = qr[m * SUB : (m + 1) * SUB]
+                t[m] = ((np.asarray(books[m]) - qs[None, :]) ** 2).sum(axis=1)
+            qtables[(qi, int(cid))] = [[float(x) for x in row] for row in t]
+
+    def adc_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        tables = {qc: np.asarray(t) for qc, t in qtables.items()}
+        cols = np.arange(8)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cd = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            nid = pdf["vec_id"].astype("int64").to_numpy()
+            cid = pdf["cid"].astype("int64").to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for (q, lc), t in tables.items():
+                # candidates: this batch's members of the probed list
+                keep = (cid == lc) & (nid != q)
+                if not keep.any():
+                    continue
+                d = t[cols, Cd[keep]].sum(axis=1)
+                out_q.append(np.full(int(keep.sum()), q, dtype=np.int64))
+                out_n.append(nid[keep])
+                out_d.append(np.round(d, 9))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        adc_fn, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)

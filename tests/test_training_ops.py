@@ -34,6 +34,7 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
         ("ann_lsh_cosine", 0.2),
         ("ann_ivf_cosine", 0.2),
         ("ann_pq_adc", 0.2),
+        ("ann_ivfpq_adc", 0.2),
     ):
         approx = _topk(REGISTRY[name].fn(spark, sf_dir))
         hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
