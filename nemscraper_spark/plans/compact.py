@@ -160,12 +160,28 @@ def compact_partition(
     return rows
 
 
-def compact_table(spark: SparkSession, table_root: str) -> dict[str, int]:
+def compact_table(
+    spark: SparkSession, table_root: str, max_parallel: int = 8
+) -> dict[str, int]:
     """Compact every eligible partition of one table (the compactor's
     5-minute cycle body, compactor.rs:63-110). Unfinished swaps from a
     previous crash are recovered first (compact_partition rolls them
-    forward before re-reading)."""
-    results = {}
-    for part in partitions_needing_compaction(table_root):
-        results[part] = compact_partition(spark, part)
-    return results
+    forward before re-reading).
+
+    Partitions are submitted from a driver-side thread pool — the
+    rayon-scope shape of compactor.rs:76-94. This matters at scale:
+    each partition's rewrite is ONE task (repartition(1)), so a serial
+    loop would keep a 1000-executor cluster one task busy at a time;
+    ``max_parallel`` concurrent Spark jobs keep the cluster fed while
+    each swap stays partition-local (separate dirs, no shared state).
+    """
+    parts = partitions_needing_compaction(table_root)
+    if not parts:
+        return {}
+    if max_parallel <= 1 or len(parts) == 1:
+        return {part: compact_partition(spark, part) for part in parts}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_parallel, len(parts))) as pool:
+        rows = pool.map(lambda p: compact_partition(spark, p), parts)
+        return dict(zip(parts, rows))

@@ -147,6 +147,34 @@ def test_compaction(spark, ingested):
     assert spark.read.parquet(root).count() == before
 
 
+def test_compact_table_parallel_partitions(spark, tmp_path):
+    """compact_table's thread pool (the rayon-scope shape,
+    compactor.rs:76-94): many partitions compact concurrently with the
+    same end state as serial — one file and conserved rows each."""
+    import zipfile
+
+    from nemscraper_spark.plans.compact import compact_table
+    from nemscraper_spark.sources.nemcsv import ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    days = [f"2022072{i}" for i in range(6)]
+    for day in days:
+        with zipfile.ZipFile(landing / f"PUBLIC_X_{day}_0001.zip", "w") as zf:
+            zf.writestr(f"PUBLIC_X_{day}.CSV", NEM_CSV.replace("20220720", day))
+    out = str(tmp_path / "out")
+    ingest(spark, str(landing), out)
+    ingest(spark, str(landing), out)  # second append: 2 files/partition
+    root = os.path.join(out, "FPP---UNIT_MW---1")
+    before = spark.read.parquet(root).count()
+
+    results = compact_table(spark, root, max_parallel=4)
+    assert len(results) == len(days)
+    for part in results:
+        assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    assert spark.read.parquet(root).count() == before
+
+
 def test_history_dedup_and_vacuum(spark, tmp_path):
     """table_history.rs:188-275 semantics: add → filter_unseen → vacuum
     → keys survive."""
