@@ -1705,3 +1705,170 @@ def ann_ivfpq_adc(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+_SIGS_SQL = f"""
+    SELECT doc_id,
+           MIN(md5('0|' || shingle)) AS sig_0,
+           MIN(md5('1|' || shingle)) AS sig_1,
+           MIN(md5('2|' || shingle)) AS sig_2,
+           MIN(md5('3|' || shingle)) AS sig_3,
+           MIN(md5('4|' || shingle)) AS sig_4,
+           MIN(md5('5|' || shingle)) AS sig_5,
+           MIN(md5('6|' || shingle)) AS sig_6,
+           MIN(md5('7|' || shingle)) AS sig_7
+    FROM sh GROUP BY doc_id
+"""
+
+_SIG_UNPIVOT_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS i, sig_{i} AS sig FROM sigs" for i in range(8)
+)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sigs AS ({_SIGS_SQL}),
+    su AS ({_SIG_UNPIVOT_SQL}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM su a JOIN su b ON a.i = b.i AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_4 = sb.sig_4 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_5 = sb.sig_5 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_6 = sb.sig_6 THEN 1 ELSE 0 END
+                 + CASE WHEN sa.sig_7 = sb.sig_7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cand c
+      JOIN sigs sa ON c.doc_a = sa.doc_id
+      JOIN sigs sb ON c.doc_b = sb.doc_id
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b, g.n_agree,
+           g.n_agree / 8.0 AS est_jaccard,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard,
+           ABS(g.n_agree / 8.0
+               - CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common))
+             AS abs_err
+    FROM agree g
+    JOIN inter i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+    JOIN cnt ca ON g.doc_a = ca.doc_id
+    JOIN cnt cb ON g.doc_b = cb.doc_id
+    """,
+    tags=("dedup",),
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash ESTIMATOR quality, hash-match-checkable end to end:
+    candidates from single-component signature collisions (LSH with
+    band size 1 over the md5 K=8 signatures — the portable variant of
+    minhash_lsh_pairs' banding), each pair reported with its
+    signature-agreement estimate (n_agree/K, the unbiased Jaccard
+    estimator P[sig_i equal] = J) NEXT TO the exact shingle-set
+    Jaccard and the absolute error — the report a dedup operator
+    publishes when tuning K and band geometry against a corpus.
+
+    Scale shape: everything is equi-join/groupBy. Candidate generation
+    is the signature-bucket join (linear, bucket sizes bounded by true
+    near-dup density); the exact-Jaccard side is the inverted shingle
+    index restricted to candidate pairs via the same join — never an
+    all-pairs product. A matching-sig pair shares its argmin shingle,
+    so the inner join to the exact side loses no candidate."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+            for i in range(8)
+        ]
+    )
+    su = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"sig_{i}").alias("sig")
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.sig").alias("sig"))
+    a = su.select(F.col("doc_id").alias("doc_a"), "i", "sig")
+    b = su.select(F.col("doc_id").alias("doc_b"), "i", "sig")
+    cand = (
+        a.join(b, ["i", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(8)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    ).cast("long")
+    agree = (
+        cand.join(sa, "doc_a").join(sb, "doc_b").select(
+            "doc_a", "doc_b", n_agree.alias("n_agree")
+        )
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        ia.join(ib, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    est = F.col("n_agree") / F.lit(8.0)
+    return (
+        agree.join(inter, ["doc_a", "doc_b"])
+        .join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est.alias("est_jaccard"),
+            jac.alias("jaccard"),
+            F.abs(est - jac).alias("abs_err"),
+        )
+    )
