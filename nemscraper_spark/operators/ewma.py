@@ -5,8 +5,13 @@ Reference semantics (crunch.rs:243-270; spec variant calcs.md:48-66):
     fm[i] = (1 - alpha) * fm[i-1] + alpha * (-dev[i])     seed fm[-1] = 0,
                                                           reset per key
 
-The seed-0 start means pandas' ``ewm(adjust=False)`` (which seeds with
-x[0]) does NOT match; the recurrence is applied explicitly.
+The seed-0 start means a bare pandas ``ewm(adjust=False)`` (which
+seeds with x[0]) does NOT match — but the same call over the series
+with a 0.0 PREPENDED evaluates the exact recurrence in Cython,
+verified bit-exact against the explicit loop (and against the
+oracle's recursive CTE). NaN inputs fall back to the explicit loop:
+pandas skips NaNs with weight bookkeeping, the recurrence propagates
+them.
 
 Execution model: grouped-map Pandas UDF (applyInPandas). Each key's
 series must be contiguous and ordered — Spark shuffles by key and we
@@ -36,14 +41,24 @@ from pyspark.sql import functions as F
 
 
 def _ewma_series(x: np.ndarray, alpha: float) -> np.ndarray:
-    """Apply fm[i] = (1-alpha)*fm[i-1] + alpha*x[i], fm[-1] = 0."""
-    out = np.empty(len(x), dtype=np.float64)
-    prev = 0.0
-    one_minus = 1.0 - alpha
-    for i, v in enumerate(x):
-        prev = one_minus * prev + alpha * v
-        out[i] = prev
-    return out
+    """Apply fm[i] = (1-alpha)*fm[i-1] + alpha*x[i], fm[-1] = 0.
+
+    Fast path: pandas ``ewm(adjust=False)`` over the series with a
+    prepended 0.0 is the SAME recurrence evaluated in Cython — verified
+    bit-exact against the explicit loop (the oracle is a bit-exact
+    recursive CTE, so "close" wouldn't do). NaNs take the explicit
+    loop: pandas ewm skips them with weight bookkeeping, while the
+    reference recurrence propagates them — different semantics."""
+    if np.isnan(x).any():
+        out = np.empty(len(x), dtype=np.float64)
+        prev = 0.0
+        one_minus = 1.0 - alpha
+        for i, v in enumerate(x):
+            prev = one_minus * prev + alpha * v
+            out[i] = prev
+        return out
+    seeded = pd.Series(np.concatenate([[0.0], x]))
+    return seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
 
 
 def ewma_chunked(
@@ -87,18 +102,29 @@ def ewma_chunked(
     )
 
     def local_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype=np.float64)
+        x = pdf[value_col].to_numpy(dtype=_np.float64)
         if negate:
             x = -x
-        out = np.empty(len(x), dtype=np.float64)
-        prev = 0.0
-        om = 1.0 - alpha
-        for i, v in enumerate(x):
-            prev = om * prev + alpha * v
-            out[i] = prev
+        if _np.isnan(x).any():  # NaN: explicit loop (see _ewma_series)
+            out = _np.empty(len(x), dtype=_np.float64)
+            prev = 0.0
+            om = 1.0 - alpha
+            for i, v in enumerate(x):
+                prev = om * prev + alpha * v
+                out[i] = prev
+        else:  # Cython ewm with a 0.0 seed — bit-exact with the loop
+            out = (
+                _pd.Series(_np.concatenate([[0.0], x]))
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .to_numpy()[1:]
+            )
         pdf["__local"] = out
-        pdf["__pos"] = np.arange(len(x), dtype=np.int64)
+        pdf["__pos"] = _np.arange(len(x), dtype=_np.int64)
         return pdf
 
     local = df.groupBy(*all_keys).applyInPandas(local_pass, schema=local_schema)
@@ -169,16 +195,27 @@ def ewma(
     # reference, and the engine package isn't importable on executor
     # python workers when the hosting driver runs from another cwd.
     def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        x = pdf[value_col].to_numpy(dtype=np.float64)
+        x = pdf[value_col].to_numpy(dtype=_np.float64)
         if negate:
             x = -x
-        out = np.empty(len(x), dtype=np.float64)
-        prev = 0.0
-        one_minus = 1.0 - alpha
-        for i, v in enumerate(x):
-            prev = one_minus * prev + alpha * v
-            out[i] = prev
+        if _np.isnan(x).any():  # NaN: explicit loop (see _ewma_series)
+            out = _np.empty(len(x), dtype=_np.float64)
+            prev = 0.0
+            one_minus = 1.0 - alpha
+            for i, v in enumerate(x):
+                prev = one_minus * prev + alpha * v
+                out[i] = prev
+        else:  # Cython ewm with a 0.0 seed — bit-exact with the loop
+            out = (
+                _pd.Series(_np.concatenate([[0.0], x]))
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .to_numpy()[1:]
+            )
         pdf[out_col] = out
         return pdf
 
