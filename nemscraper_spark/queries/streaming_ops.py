@@ -1,0 +1,147 @@
+"""Driver-checkable Structured Streaming queries (SURVEY.md §2.9).
+
+Round 1 verified the streaming surface only through in-repo batch-twin
+tests; these two queries put the core streaming operators — watermarked
+tumbling-window aggregation and bounded-state streaming dedup
+(`dropDuplicatesWithinWatermark`) — behind the driver's rows+schema+hash
+gate.  Each runs a REAL Structured Streaming query (file source →
+stateful operator → sink) with ``Trigger.AvailableNow`` so the run is
+bounded and the result deterministic, then returns the sink contents as
+the result DataFrame.  The DuckDB oracle is the batch equivalent: for a
+single bounded replay, streaming semantics must agree exactly with the
+batch aggregation/dedup — the same invariant the reference's continuous
+poll loop relies on when it re-processes a day's files
+(`src/main.rs:286-307` re-enqueue sweep: reprocessing must be a no-op).
+
+Scale notes: the memory sink here holds only the bounded query RESULT
+(≤ days × event-types rows for the window agg); production streams
+write parquet/Kafka sinks (`streaming/ingest.py`).  State size is
+bounded by the watermark horizon, not history — the property that lets
+these operators run forever on a 100 TB/day feed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries.common import (
+    dec_sum,
+    load_table,
+    oracle_dec_sum,
+    register,
+)
+
+
+def _staged_stream(spark, sf_dir, name="events"):
+    """Normalize the events table (NANOS ts → TIMESTAMP_NTZ via
+    load_table) and stage it as a parquet directory a file-source
+    stream can read.  Returns (streaming_df, stage_dir).
+
+    The driver's testdata is one parquet FILE; Spark's file stream
+    source wants a directory it can list for new files — exactly the
+    layout the ingest sink produces in production (one dir, files
+    arriving over time), so the stage step is the honest shape, not a
+    workaround.
+    """
+    ev = load_table(spark, sf_dir, name)
+    stage = tempfile.mkdtemp(prefix="nemspark-stream-")
+    src = os.path.join(stage, "src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    # Watermarks require TIMESTAMP (instant) — the table carries
+    # TIMESTAMP_NTZ.  Track event time on a cast twin (`ts_w`); under a
+    # fixed session timezone the ntz→ts→ntz round trip is the identity,
+    # so query OUTPUTS keep the original ntz column and stay
+    # hash-comparable with the batch oracle.
+    stream = stream.withColumn("ts_w", F.col("ts").cast("timestamp"))
+    return stream, stage
+
+
+def _run_to_memory(result_stream, stage, query_name, output_mode):
+    """Run the stream to completion under Trigger.AvailableNow into a
+    memory sink; return the sink table as a DataFrame."""
+    ckpt = os.path.join(stage, "ckpt")
+    q = (
+        result_stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = result_stream.sparkSession.table(query_name)
+    # The memory sink holds its rows on the driver; the staged source
+    # files and checkpoint are no longer needed once the run finishes.
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+@register(
+    "streaming_window_counts",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dec_sum("value")} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "W3", "A8"),
+)
+def streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a REAL streaming
+    query: file source → withWatermark(1h) → window(1 day) × event_type
+    → count + decimal-exact sum — the §2.9 continuous version of the
+    batch time-bucket rollup (fpp.json:1010's shape).
+
+    Complete output mode emits every window, so a bounded AvailableNow
+    replay must match the batch GROUP BY bit-for-bit (decimal sums are
+    order-independent).  Epoch-aligned 1-day windows coincide with
+    date_trunc('day') in the oracle.
+    """
+    stream, stage = _staged_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts_w", "1 hour")
+        .groupBy(F.window("ts_w", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, stage, "nemspark_streaming_window_counts", "complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("streaming", "M1", "dedup"),
+)
+def streaming_dedup_replay(spark, sf_dir):
+    """Streaming dedup under replay: the event stream unioned with
+    itself (every row delivered twice — the at-least-once redelivery
+    case) flows through ``dropDuplicatesWithinWatermark(event_id)``,
+    which must restore exactly-once output: the original events table,
+    row for row.
+
+    This is §2.8 M1 (the reference's dedup-against-history,
+    `table_history.rs:58-92`) in its streaming form — state bounded by
+    the 1 h watermark horizon instead of an ever-growing history set,
+    the property that holds at 100 TB/day.  Oracle: SELECT * FROM
+    events — redelivery must be invisible.
+    """
+    stream, stage = _staged_stream(spark, sf_dir)
+    redelivered = stream.union(stream)
+    deduped = redelivered.withWatermark("ts_w", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _run_to_memory(deduped, stage, "nemspark_streaming_dedup_replay", "append")
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
