@@ -61,15 +61,30 @@ _R01_DRIVER_GREEN = frozenset(
 # rows before anything else this round.
 _PRIORITY_FIRST = ("nem_ingest_conservation", "nem_compaction_roundtrip")
 
+# If the driver again caps at 50 rows, the overflow should cost the
+# least signal: rows-only entries (no hash gate — the driver row adds
+# little beyond the in-repo recall/invariant tests) and two trivial
+# oracle queries (metadata row counts, a DDL wrapper) sort after every
+# other oracle-bearing unchecked query.
+_DEPRIORITIZED = ("parquet_footer_rowcounts", "catalog_external_table")
+
 
 def _driver_order() -> list[str]:
-    unchecked = [
+    rest = [
         n
         for n in REGISTRY
         if n not in _R01_DRIVER_GREEN and n not in _PRIORITY_FIRST
     ]
+    oracle_first = sorted(
+        rest,
+        key=lambda n: (
+            n in _DEPRIORITIZED,
+            REGISTRY[n].oracle is None,
+            rest.index(n),
+        ),
+    )
     checked = [n for n in REGISTRY if n in _R01_DRIVER_GREEN]
-    return [*_PRIORITY_FIRST, *unchecked, *checked]
+    return [*_PRIORITY_FIRST, *oracle_first, *checked]
 
 
 def entry(spark: SparkSession) -> DataFrame:
