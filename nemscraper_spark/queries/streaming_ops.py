@@ -65,14 +65,31 @@ def _run_to_memory(result_stream, stage, query_name, output_mode):
     """Run the stream to completion under Trigger.AvailableNow into a
     memory sink; return the sink table as a DataFrame."""
     ckpt = os.path.join(stage, "ckpt")
-    q = (
-        result_stream.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = result_stream.sparkSession
+    # Stateful operators key their state store on
+    # spark.sql.shuffle.partitions AT QUERY START (no AQE coalescing in
+    # streaming) — a foreign session's default of 200 means 200 state
+    # tasks per micro-batch regardless of data size.  Pin a width
+    # matched to the cores for this bounded run and restore the
+    # caller's setting immediately after start; a real deployment sizes
+    # this once per stream at creation, same as here.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        q = (
+            result_stream.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     q.awaitTermination()
     out = result_stream.sparkSession.table(query_name)
     # The memory sink holds its rows on the driver; the staged source
