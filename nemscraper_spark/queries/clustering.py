@@ -44,28 +44,51 @@ def _assign(e, cents):
     """Add an argmin `cluster` column: nearest centroid by
     d = x·x − 2·x·c + c·c, ties to the smaller cluster id.
 
-    `cents` is the driver-side [(cluster_id, [dim doubles])] list; each
-    x·c unrolls into a flat left-associated codegen expression (the
-    same float sequence as a sequential fold), and c·c is computed
-    driver-side with the same sequential order — bit-identical to the
-    oracle's list_dot_product.
+    `cents` is the driver-side [(cluster_id, [dim doubles])] list,
+    captured by value in an Arrow-batched numpy kernel (the flat
+    codegen-literal alternative is bit-identical but janino recompiles
+    ~seconds of unique 64-term expressions per iteration — the same
+    trade pairwise_cosine9 documents).  The kernel accumulates each dot
+    dim-in-order (acc += X[:, i] * c[i]) — the exact float sequence of
+    a sequential fold / DuckDB's list_dot_product — and np.argmin over
+    id-ordered centroid columns ties to the smaller cluster id.
     """
-    x = F.col("x")
-    dim = len(cents[0][1])
-    xx = x[0] * x[0]
-    for i in range(1, dim):
-        xx = xx + x[i] * x[i]
-    candidates = []
-    for cid, c in cents:
-        xc = x[0] * F.lit(c[0])
-        for i in range(1, dim):
-            xc = xc + x[i] * F.lit(c[i])
-        cc = c[0] * c[0]
-        for i in range(1, dim):
-            cc = cc + c[i] * c[i]
-        dist = xx - 2 * xc + F.lit(cc)
-        candidates.append(F.struct(dist.alias("d"), F.lit(cid).alias("cluster")))
-    return e.withColumn("cluster", F.array_min(F.array(*candidates)).getField("cluster"))
+    cent_ids = [cid for cid, _ in cents]
+    cent_vecs = [list(c) for _, c in cents]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cent_vecs, dtype=np.float64)  # (k, dim), id-ordered
+        k, dim = C.shape
+        cc = np.zeros(k)
+        for i in range(dim):
+            cc += C[:, i] * C[:, i]
+        ids = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
+            xx = np.zeros(n)
+            for i in range(dim):
+                xx += X[:, i] * X[:, i]
+            D = np.empty((n, k))
+            for j in range(k):
+                xc = np.zeros(n)
+                for i in range(dim):
+                    xc += X[:, i] * C[j, i]
+                D[:, j] = xx - 2 * xc + cc[j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "x": pdf["x"],
+                    "cluster": ids[np.argmin(D, axis=1)],
+                }
+            )
+
+    return e.mapInPandas(kernel, schema="vec_id long, x array<double>, cluster long")
 
 
 def _update(assigned):
