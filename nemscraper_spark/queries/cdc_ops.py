@@ -1,0 +1,284 @@
+"""Change-data-capture / dimension-maintenance operators: MERGE-style
+upsert, SCD type-2 history build, fixed-width histogramming, variance
+outlier flagging, and a corpus-LM quality proxy.
+
+These are the incremental-maintenance shapes a reference user runs
+around the scraped store (the reference's own history ledger + compactor
+are M1/M3/M4; these queries cover the *dimension* side: applying a batch
+of changes to a keyed table and versioning attribute drift over time).
+
+Cross-engine determinism notes (same discipline as corpus_ops.py):
+integer arithmetic end-to-end where possible, DECIMAL partial sums for
+double aggregation (see common.dec_sum), and a SINGLE final
+integer-quotient or identically-shaped double expression — no ln/sqrt,
+whose libm implementations differ in the last ulp across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries.common import (
+    dec_sum,
+    load_table,
+    oracle_dec_sum,
+    register,
+)
+
+
+@register(
+    "merge_upsert_dim",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_custkey AS k,
+             {oracle_dec_sum("o_totalprice")} AS delta,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    tgt AS (
+      SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal >= 0
+    )
+    SELECT COALESCE(t.k, s.k) AS c_custkey,
+           CASE WHEN t.k IS NULL THEN 'insert'
+                WHEN s.k IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           CAST(COALESCE(CAST(t.c_acctbal AS DECIMAL(25,4)), 0)
+                + COALESCE(CAST(s.delta AS DECIMAL(25,4)), 0)
+                AS DOUBLE) AS new_bal,
+           COALESCE(s.n_orders, 0) AS n_orders
+    FROM tgt t FULL JOIN src s ON t.k = s.k
+    """,
+    tags=("cdc", "merge"),
+)
+def merge_upsert_dim(spark, sf_dir):
+    """MERGE INTO semantics (upsert a change batch into a keyed dim) as
+    one full-outer join + CASE — exactly the plan Delta/Iceberg MERGE
+    lowers to. Source = per-customer order totals (the change batch);
+    target = the non-negative-balance slice of the customer dim, so all
+    three branches fire: matched→update, source-only→insert,
+    target-only→keep. DECIMAL arithmetic keeps the merged balance
+    hash-exact across engines. At 100 TB this is a single shuffle
+    hash-join on the merge key; AQE broadcasts whichever side is small.
+    """
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            dec_sum("o_totalprice").alias("delta"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    tgt = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(F.col("c_custkey").alias("k"), "c_acctbal")
+    )
+    j = tgt.join(src, on="k", how="full")
+    return j.select(
+        F.col("k").alias("c_custkey"),
+        F.when(F.col("c_acctbal").isNull(), F.lit("insert"))
+        .when(F.col("delta").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        (
+            F.coalesce(F.col("c_acctbal").cast("decimal(25,4)"), F.lit(0))
+            + F.coalesce(F.col("delta").cast("decimal(25,4)"), F.lit(0))
+        )
+        .cast("double")
+        .alias("new_bal"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM seq WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w2 AS valid_to,
+           CAST(LEAD(o_orderdate) OVER w2 IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("cdc", "scd2"),
+)
+def scd2_priority_history(spark, sf_dir):
+    """SCD type-2 history build: collapse each customer's order-priority
+    stream into versioned rows [valid_from, valid_to) with an is_current
+    flag — the standard slowly-changing-dimension shape CDC pipelines
+    maintain. Change detection is a LAG over (custkey, date, orderkey)
+    — one shuffle on the entity key; both window passes reuse the same
+    partitioning, so Spark plans a single Exchange for the whole query.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+    changes = seq.filter(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "histogram_price_buckets",
+    oracle=f"""
+    SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dec_sum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("A-histogram",),
+)
+def histogram_price_buckets(spark, sf_dir):
+    """Fixed-width value histogram (5000-wide buckets over
+    l_extendedprice) — the data-profiling primitive behind range
+    partitioning choices and skew detection. floor(double/literal) is a
+    correctly-rounded IEEE op, bit-identical in both engines, so the
+    bucket ids hash-match without width_bucket (which DuckDB and Spark
+    disagree on at boundaries). Map-side partial aggregation absorbs
+    the row volume; the shuffle carries only ~20 bucket rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(value) AS mean,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(value) AS ex2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE (e.value - s.mean) * (e.value - s.mean)
+          > 4 * (s.ex2 - s.mean * s.mean)
+    """,
+    tags=("A-outlier",),
+)
+def zscore_outliers(spark, sf_dir):
+    """Per-group 2-sigma outlier flagging without sqrt: compare the
+    squared deviation against 4·variance, with mean and E[x²] built
+    from exact DECIMAL sums so the threshold doubles are bit-identical
+    across engines (sqrt/stddev differ in the last ulp between libms).
+    The per-type stats frame is tiny (≤ #event_types rows) — AQE
+    broadcasts it, so the fact side never shuffles. This is the
+    streaming-telemetry anomaly gate a reference user runs over the
+    dispatch tables.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            / F.count("value")
+        ).alias("mean"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count("value")
+        ).alias("ex2"),
+        F.count("*").alias("n"),
+    )
+    j = ev.join(stats, on="event_type")
+    dev = F.col("value") - F.col("mean")
+    var = F.col("ex2") - F.col("mean") * F.col("mean")
+    return j.filter(dev * dev > F.lit(4) * var).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+    WITH big AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY bg),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.c) AS DOUBLE) / (CAST(COUNT(*) AS BIGINT) * MAX(t.n))
+             AS lm_score
+    FROM big b JOIN cnt c ON b.bg = c.bg CROSS JOIN tot t
+    GROUP BY b.doc_id
+    """,
+    tags=("text-quality", "lm"),
+)
+def bigram_lm_score(spark, sf_dir):
+    """Corpus-LM fluency proxy: a document's average corpus frequency of
+    its word bigrams — the cheap stand-in for 'perplexity under a
+    unigram/bigram LM' that CCNet-style pipelines bucket documents by.
+    Stays in exact integer arithmetic (sum of corpus counts per doc,
+    occurrence count, corpus total) until ONE final integer quotient,
+    which is a correctly-rounded double — hash-identical across engines
+    with no ln(). Two linear shuffles (bigram count, doc regroup); the
+    count join is plain equi-join AQE can re-plan; no collect.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    big = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    cnt = big.groupBy("bg").agg(F.count("*").alias("c"))
+    tot = big.agg(F.count("*").alias("n"))
+    per_doc = (
+        big.join(cnt, on="bg")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c").alias("sum_c"),
+            F.max("n").alias("tot_n"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.col("sum_c").cast("double")
+            / (F.col("n_bigrams") * F.col("tot_n"))
+        ).alias("lm_score"),
+    )
