@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from nemscraper_spark.queries.common import (
     dec_sum,
+    fan_out,
     load_table,
     oracle_dec_sum,
     register,
@@ -245,11 +246,17 @@ def bigram_lm_score(spark, sf_dir):
     Stays in exact integer arithmetic (sum of corpus counts per doc,
     occurrence count, corpus total) until ONE final integer quotient,
     which is a correctly-rounded double — hash-identical across engines
-    with no ln(). Two linear shuffles (bigram count, doc regroup); the
-    count join is plain equi-join AQE can re-plan; no collect.
+    with no ln(). Plan shape for scale: ONE explode pass collapsed
+    immediately to per-(doc, bigram) occurrence counts (the partial
+    aggregation absorbs the token fan-out map-side), so the frequency
+    join carries distinct (doc, bigram) pairs — not raw occurrences —
+    and the corpus total is a one-row rollup of the count table, not a
+    second scan. Everything else is equi-join + groupBy AQE can
+    re-plan; no collect.
     """
-    d = load_table(spark, sf_dir, "documents")
-    big = (
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # per-(doc, bigram) occurrence counts straight off the explode
+    db = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 2)
         .select(
@@ -261,24 +268,25 @@ def bigram_lm_score(spark, sf_dir):
                 )
             ).alias("bg"),
         )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("k"))
     )
-    cnt = big.groupBy("bg").agg(F.count("*").alias("c"))
-    tot = big.agg(F.count("*").alias("n"))
+    cnt = db.groupBy("bg").agg(F.sum("k").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
     per_doc = (
-        big.join(cnt, on="bg")
-        .crossJoin(tot)
+        db.join(cnt, on="bg")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("c").alias("sum_c"),
-            F.max("n").alias("tot_n"),
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("c")).alias("sum_c"),
         )
+        .crossJoin(F.broadcast(tot))
     )
     return per_doc.select(
         "doc_id",
         "n_bigrams",
         (
             F.col("sum_c").cast("double")
-            / (F.col("n_bigrams") * F.col("tot_n"))
+            / (F.col("n_bigrams") * F.col("n"))
         ).alias("lm_score"),
     )

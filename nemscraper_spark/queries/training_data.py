@@ -188,6 +188,126 @@ def minhash_signatures_md5(spark, sf_dir):
     )
 
 
+@register(
+    "minhash_lsh_pairs_md5",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('0|' || shingle)) AS s0, MIN(md5('1|' || shingle)) AS s1,
+             MIN(md5('2|' || shingle)) AS s2, MIN(md5('3|' || shingle)) AS s3,
+             MIN(md5('4|' || shingle)) AS s4, MIN(md5('5|' || shingle)) AS s5,
+             MIN(md5('6|' || shingle)) AS s6, MIN(md5('7|' || shingle)) AS s7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             CASE b WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
+                    WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bucket
+      FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.2
+    """,
+    tags=("dedup",),
+)
+def minhash_lsh_pairs_md5(spark, sf_dir):
+    """The FULL MinHash+LSH pipeline pinned cross-engine: shingle → 8
+    md5 minhash sigs → 4 bands of 2 (bucket = concatenated sig pair) →
+    bucket-join candidates → pair-local exact-Jaccard verify ≥ 0.2.
+    Same staged plan as the production path (minhash_lsh_pairs) but
+    every hash is md5, so DuckDB replays the entire algorithm —
+    candidates, verify, and threshold — and the driver hash-gates it
+    end to end (the xxhash64 production variant stays rows-only; this
+    query is the cross-engine proof of the banding + verify logic).
+    Scale shape is unchanged: one explode + grouped 8-way min-agg,
+    band bucket join (linear, geometry-controlled), semi-join prune,
+    per-pair O(|a|+|b|) set intersect."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
+            for i in range(8)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    la = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    lb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("ss"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    jac = n_common.cast("double") / (
+        F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", n_common.alias("n_common"), jac.alias("jaccard"))
+    )
+
+
 @register("minhash_lsh_pairs", oracle=None, tags=("dedup",))
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash + LSH near-dup candidates, verified by exact Jaccard.
