@@ -282,3 +282,55 @@ def test_q5_bounded_dims_broadcast(spark, sf_dir):
     p = plan(REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def _tree(p: str) -> str:
+    """The operator-tree section of a formatted plan (before the
+    numbered details, which repeat every operator name)."""
+    return p.split("\n\n")[0]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both window passes (LAG change-detect, LEAD validity interval)
+    partition by the same entity key — Spark must plan ONE shuffle for
+    the whole SCD2 build, not one per window."""
+    import re
+
+    p = plan(REGISTRY["scd2_priority_history"].fn(spark, sf_dir))
+    shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
+    assert len(shuffles) == 1, _tree(p)
+
+
+def test_zscore_stats_broadcast(spark, sf_dir):
+    """The per-type stats frame is tiny — it must broadcast so the fact
+    side never shuffles for the outlier gate."""
+    p = plan(REGISTRY["zscore_outliers"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_histogram_partial_agg_and_pruning(spark, sf_dir):
+    """The histogram must partial-aggregate map-side (two HashAggregate
+    levels around one Exchange) and read ONLY l_extendedprice."""
+    p = plan(REGISTRY["histogram_price_buckets"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_merge_upsert_no_nested_loop(spark, sf_dir):
+    """MERGE lowers to a single full-outer equi-join on the merge key —
+    full outer can't broadcast, so SortMergeJoin is the right plan; the
+    quadratic fallbacks must not appear."""
+    p = plan(REGISTRY["merge_upsert_dim"].fn(spark, sf_dir))
+    assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_lsh_md5_no_shingle_self_join(spark, sf_dir):
+    """The md5 LSH twin keeps the production plan shape: candidates come
+    from the band bucket join, and the verify never materializes a
+    (doc_a, doc_b, shingle) row — no nested loop, no cartesian."""
+    p = plan(REGISTRY["minhash_lsh_pairs_md5"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "array_intersect" in p
