@@ -162,3 +162,70 @@ def streaming_dedup_replay(spark, sf_dir):
     )
     out = _run_to_memory(deduped, stage, "nemspark_streaming_dedup_replay", "append")
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "streaming_session_windows",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dec_sum("value")} AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "W-session"),
+)
+def streaming_session_windows(spark, sf_dir):
+    """Native streaming session windows (`F.session_window`, 30 min
+    gap) as a REAL streaming query — the continuous form of the batch
+    `sessionize` islands pattern, with state merged per key as events
+    arrive instead of a lag/cumsum over history.
+
+    Boundary semantics: Spark sessions are [start, last + gap), so an
+    event exactly 30 min after the previous one opens a NEW session —
+    the oracle's island break is therefore `gap >= 30 minutes` (the
+    batch `sessionize` query keeps `>` for the classic islands idiom;
+    with continuous timestamps the two agree except on exact-boundary
+    gaps, which the generator's ns-precision data cannot produce).
+
+    Complete output mode emits every merged session at the end of the
+    bounded AvailableNow replay, so the result must equal the batch
+    islands aggregation row for row; DECIMAL sums keep the values
+    hash-exact. At scale, state is per-open-session (bounded by the
+    watermark horizon), the property that lets sessionization run
+    continuously over a 100 TB/day stream.
+    """
+    stream, stage = _staged_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts_w", "1 hour")
+        .groupBy(
+            F.session_window(F.col("ts_w"), "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(
+        agg, stage, "nemspark_streaming_session_windows", "complete"
+    )
+    return out.select(
+        F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
