@@ -1964,25 +1964,34 @@ def minhash_jaccard_estimate(spark, sf_dir):
             "doc_a", "doc_b", n_agree.alias("n_agree")
         )
     )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ia = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    ib = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        ia.join(ib, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # exact Jaccard ONLY for candidate pairs, via the same pair-local
+    # set-intersect as lsh_verified_pairs: semi-join the inverted index
+    # down to candidate docs, aggregate each doc's shingles into a
+    # 64-bit-hash set, intersect inside the pair row. Never a shingle
+    # self-join — a hot shingle shared by m docs costs m set entries,
+    # not m^2 join rows. Every candidate pair shares its argmin shingle
+    # (equal min-sig => same shingle), so n_common >= 1 and no pair is
+    # lost vs the oracle's inner join to the full intersection CTE.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("ss"))
+    )
+    pa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    pb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    n_common = F.size(F.array_intersect("ssa", "ssb")).cast("long")
+    jac = n_common.cast("double") / (
+        F.size("ssa").cast("long") + F.size("ssb").cast("long") - n_common
     )
     est = F.col("n_agree") / F.lit(8.0)
     return (
-        agree.join(inter, ["doc_a", "doc_b"])
-        .join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        agree.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
