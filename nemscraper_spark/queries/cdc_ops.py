@@ -290,3 +290,31 @@ def bigram_lm_score(spark, sf_dir):
             / (F.col("n_bigrams") * F.col("n"))
         ).alias("lm_score"),
     )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(props ->> 'k' AS BIGINT) AS k
+    FROM events
+    WHERE CAST(props ->> 'k' AS BIGINT) >= 50
+    """,
+    tags=("P-json", "semistructured"),
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    `props` column in both the projection and the predicate — the
+    schema-on-read path every telemetry/event pipeline needs beside its
+    relational columns. get_json_object stays JVM-side (codegen JSON
+    path evaluation, no Python); on columnar stores the props column is
+    the only extra column read. Every extracted value is hash-checked
+    row-level against DuckDB's ->> operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .select("event_id", "event_type", "k")
+    )
