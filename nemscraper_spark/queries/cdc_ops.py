@@ -318,3 +318,39 @@ def json_extract_props(spark, sf_dir):
         .filter(F.col("k") >= 50)
         .select("event_id", "event_type", "k")
     )
+
+
+@register(
+    "ranking_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+           PERCENT_RANK() OVER w AS prank,
+           CUME_DIST() OVER w AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("W-rank",),
+)
+def ranking_functions(spark, sf_dir):
+    """The full ranking-window family in one pass: rank, dense_rank,
+    ntile decile, percent_rank, cume_dist per market segment — the
+    leaderboard/decile-bucketing shapes (complements row_number in
+    dedup_keep_first and the lead/lag queries). percent_rank and
+    cume_dist are integer quotients ((rank-1)/(n-1), n_leq/n), so the
+    doubles hash-match across engines. All five functions share ONE
+    window spec — a single shuffle + sort computes the whole frame.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
