@@ -13,9 +13,12 @@ doubling rows:
   * every key column is offset by k * (max_key + 1) per replica, so
     joins match within a replica and never across — join selectivity
     and group counts scale with the data like a real corpus;
-  * half the replicated documents get a perturbed text (one appended
-    token) — near-dup candidate structure grows, identical-doc cliques
-    (the known quadratic trap) do not;
+  * every replica's document tokens carry a replica suffix, so replica
+    texts are disjoint from the base corpus — each replica contributes
+    the base corpus's NATURAL near-dup pairs (dup structure grows
+    linearly, like ingesting 20x new sources) instead of 20-copy
+    identical-text cliques whose pair count grows quadratically with
+    the factor;
   * bounded dims (region, nation) are NOT replicated — at any scale
     they stay broadcast-sized, exactly like production.
 
@@ -90,9 +93,23 @@ def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             r = df
             for col, step in steps.items():
                 r = r.withColumn(col, (F.col(col) + F.lit(k * step)).cast("long"))
-            if t == "documents" and k % 2 == 1:
-                # odd replicas: near-dup of the original, not identical
-                r = r.withColumn("text", F.concat_ws(" ", "text", F.lit(f"v{k}")))
+            if t == "documents" and k > 0:
+                # Replica texts must be DISTINCT from the base corpus,
+                # not copies: suffix every token with the replica id.
+                # A real 20x corpus is 20x new documents — each replica
+                # then carries the base corpus's NATURAL near-dup pairs
+                # (so dup structure grows linearly, the honest model),
+                # instead of forming 20-copy identical/near-identical
+                # cliques whose pair count grows quadratically with the
+                # replication factor (any pair-REPORTING query is
+                # Omega(#pairs) — that measured the data, not the plan).
+                r = r.withColumn(
+                    "text",
+                    F.expr(
+                        f"concat_ws(' ', transform(split(text, ' '),"
+                        f" w -> concat(w, '_{k}')))"
+                    ),
+                )
             reps.append(r)
         u = reps[0]
         for r in reps[1:]:
@@ -124,12 +141,21 @@ def main() -> None:
         replicate(spark, base, scaled, factor)
         print(f"replicated {factor}x into {scaled} in {time.perf_counter() - t0:.1f}s")
 
+        # BASELINE.md documents ~60 s near-total CPU-steal bursts on
+        # this box; a single run that straddles one reports the burst,
+        # not the plan (observed: a 1x run "slower" than its own 20x).
+        # MIN over repeats is the right statistic under additive noise.
+        repeats = int(os.environ.get("SPARK_GRAFT_PROBE_REPEATS", "2"))
+
         def run(name: str, sf_dir: str) -> float:
-            t = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            return time.perf_counter() - t
+            best = float("inf")
+            for _ in range(max(1, repeats)):
+                t = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t)
+            return best
 
         print(f"{'query':34s} {'1x':>7s} {f'{factor}x':>8s} {'ratio':>6s}")
         for name in names:
