@@ -354,3 +354,61 @@ def ranking_functions(spark, sf_dir):
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+                    / COUNT(l_quantity)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_type = 'ECONOMY'
+      AND l.l_quantity < a.qty_threshold
+    """,
+    tags=("A1", "J-scalar-subquery"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — the correlated SCALAR-SUBQUERY pattern
+    (`l_quantity < 0.2 * avg(l_quantity) per part`) decorrelated the
+    way every engine executes it: a per-part aggregate joined back to
+    the fact. At scale both the threshold build and the probe shuffle
+    once on l_partkey and AQE broadcasts the filtered part slice; the
+    threshold is DECIMAL-exact so the comparison doubles hash-match.
+    The brand/type filter is pushed into the part scan (tiny build
+    side) — the fact table is reduced by the join before the
+    threshold comparison runs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(25,4)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pavg, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(25,4)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
