@@ -377,3 +377,83 @@ def exact_quantiles_by_type(spark, sf_dir):
         F.expr("percentile(value, 0.75)").alias("p75"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "mad_by_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS p50
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MAX(m.p50) AS p50,
+           quantile_cont(ABS(e.value - m.p50), 0.5) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("A-quantile", "A-robust"),
+)
+def mad_by_type(spark, sf_dir):
+    """Median absolute deviation per group — the robust dispersion
+    measure outlier pipelines prefer over stddev (no sqrt, no moment
+    blow-up from the very outliers being hunted). Two exact-percentile
+    passes: group median, broadcast it back (tiny per-type frame — the
+    fact side never shuffles for the join), then the median of absolute
+    deviations. percentile() and DuckDB's quantile_cont share the same
+    interpolation on the sorted group, and ABS/subtract are exact IEEE
+    ops, so the doubles hash-match. Exact per-group sort is fine for
+    bounded group counts; approx_sketches is the high-cardinality path.
+    """
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50")
+    )
+    j = ev.join(med, on="event_type")
+    return j.groupBy("event_type").agg(
+        F.max("p50").alias("p50"),
+        F.expr("percentile(abs(value - p50), 0.5)").alias("mad"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "covar_value_props",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, value, CAST(props ->> 'k' AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(value * k AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(CAST(k AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+             AS covar_pop,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY event_type
+    """,
+    tags=("A-stats", "P-json"),
+)
+def covar_value_props(spark, sf_dir):
+    """Population covariance between a relational column and a field
+    extracted from the JSON props — E[xy] - E[x]E[y] with every sum
+    DECIMAL-exact, so the result doubles are bit-identical across
+    engines (Spark's covar_pop uses a streaming co-moment update whose
+    float order differs run to run — this formulation is both exact
+    and portable). One map-side partial aggregation; the JSON
+    extraction stays in codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    x = ev.select("event_type", "value", k.alias("k"))
+    n = F.count("*")
+    return x.groupBy("event_type").agg(
+        (
+            F.sum((F.col("value") * F.col("k")).cast("decimal(38,12)")).cast("double")
+            / n
+            - (F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / n)
+            * (F.sum(F.col("k").cast("decimal(25,6)")).cast("double") / n)
+        ).alias("covar_pop"),
+        F.count("*").alias("n"),
+    )
