@@ -412,3 +412,41 @@ def q17_small_quantity_revenue(spark, sf_dir):
             / F.lit(7.0)
         ).alias("avg_yearly")
     )
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS cohort, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_only' AS cohort, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    tags=("U-intersect", "U-except"),
+)
+def set_intersect_except(spark, sf_dir):
+    """The remaining relational set operators: INTERSECT (users who
+    clicked AND purchased) and EXCEPT (clicked but never purchased),
+    stacked with a cohort tag — the audience-segmentation shape.
+    Spark executes both as distinct + left-semi/left-anti hash joins
+    on the projected column; at scale that is one shuffle per side on
+    user_id and AQE broadcasts the smaller cohort. Both branches read
+    the same pushed-down event_type filters.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).select(F.lit("both").alias("cohort"), "user_id")
+    # subtract == EXCEPT DISTINCT (exceptAll is the multiset variant,
+    # which would keep a clicking user's extra click rows alive)
+    only = clicks.subtract(buys).select(
+        F.lit("click_only").alias("cohort"), "user_id"
+    )
+    return both.unionByName(only)
