@@ -1,0 +1,44 @@
+"""Interactive-SQL surface (SURVEY.md §3.3).
+
+The reference's dashboards speak raw SQL to DuckDB over the parquet
+tree (`grafana/provisioning/datasources/duckdb_datasources.yaml:1-10`,
+`grafana/dashboards/fpp.json:129-1068`). The Spark equivalent is
+`spark.sql(...)` over registered views — this module is that entry
+point for a user migrating their dashboard queries: register every
+table once, then run the same SQL minus dialect differences
+(`read_parquet('…')` → view name, `time_bucket` → `date_trunc`/
+`window`, `FILTER (WHERE …)` → `CASE WHEN` inside the aggregate).
+
+For a persistent metastore (Thrift server / multiple sessions), use
+`catalog_external_table`'s `saveAsTable` path instead — temp views are
+session-scoped by design, matching the per-dashboard-connection model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nemscraper_spark.queries.common import TABLES, load_table
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, suffix: str = ""
+) -> list[str]:
+    """Register every testdata table as a session temp view
+    (``region``, ``nation``, … or ``region<suffix>`` …). Returns the
+    view names. Views are lazy — no scan happens until a query runs,
+    and Catalyst pushes each query's filters/projections into the
+    underlying parquet scan exactly as the DataFrame API would.
+    """
+    names = []
+    for t in TABLES:
+        name = f"{t}{suffix}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """One-call convenience: register the views, run the SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

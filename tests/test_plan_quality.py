@@ -334,3 +334,24 @@ def test_lsh_md5_no_shingle_self_join(spark, sf_dir):
     p = plan(REGISTRY["minhash_lsh_pairs_md5"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "array_intersect" in p
+
+
+def test_sql_views_push_down(spark, sf_dir):
+    """The §3.3 SQL surface (nemscraper_spark.sql.register_views) must
+    behave exactly like the DataFrame API: a dashboard query's filter
+    reaches the parquet scan and untouched columns are pruned."""
+    from nemscraper_spark.sql import sql as run_sql
+
+    df = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
+        """,
+    )
+    p = plan(df)
+    assert "PushedFilters" in p and "l_linestatus" in p.split("PushedFilters")[1].splitlines()[0]
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert df.count() > 0
