@@ -17,7 +17,7 @@ Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and
 reports the per-query MEDIAN, so a single CPU-steal burst (BASELINE.md
 documents ~60 s near-total steal windows on this box) cannot turn a
 0.3 s projection into a 42 s outlier. Repeats stop early if the suite
-exceeds $SPARK_GRAFT_BENCH_BUDGET_SEC (default 400) so the harness
+exceeds $SPARK_GRAFT_BENCH_BUDGET_SEC (default 360) so the harness
 never times out; completed repeats still yield medians.
 
 Each query is forced through the `noop` sink so the whole physical plan

@@ -457,3 +457,45 @@ def covar_value_props(spark, sf_dir):
         ).alias("covar_pop"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "range_frame_rolling_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_30m
+    FROM events
+    """,
+    tags=("W-range-frame",),
+)
+def range_frame_rolling_sum(spark, sf_dir):
+    """Time-based RANGE window frame: each event's sum of its user's
+    values over the trailing 30 minutes — the sliding-aggregate shape
+    ROWS frames cannot express when events are irregularly spaced
+    (running_window_sum covers the ROWS variant). Both engines order
+    and bound the frame on integer MICROSECOND epochs (1800000000 µs),
+    so frame membership is exact at the ns-precision timestamps —
+    INTERVAL-vs-seconds boundary arithmetic never disagrees — and the
+    DECIMAL sum makes the frame aggregation order-independent. One
+    shuffle on user_id; the frame scan is a per-partition sliding
+    cursor, linear in events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-1800000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30m"),
+    )
