@@ -499,3 +499,41 @@ def range_frame_rolling_sum(spark, sf_dir):
         .cast("double")
         .alias("rolling_30m"),
     )
+
+
+@register(
+    "locf_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM events
+    """,
+    tags=("W-locf", "W8"),
+)
+def locf_forward_fill(spark, sf_dir):
+    """LOCF gap fill (last observation carried forward): only every
+    10th event carries a reading; every row gets the latest reading at
+    or before it, per entity — the step-function fill the reference's
+    forecast join relies on (operators/asof.py uses the same kernel:
+    last(ignorenulls) over an unbounded-preceding frame), and the
+    standard alternative to linear_interpolation's slope fill. The
+    carried value is copied, never recomputed, so cross-engine
+    equality is exact. One shuffle on the entity key; the frame is a
+    running single-value carry, linear per partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    reading = F.when(F.col("event_id") % 10 == 0, F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(reading, ignorenulls=True).over(w).alias("filled"),
+    )
