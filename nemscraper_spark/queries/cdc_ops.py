@@ -1,6 +1,9 @@
-"""Change-data-capture / dimension-maintenance operators: MERGE-style
-upsert, SCD type-2 history build, fixed-width histogramming, variance
-outlier flagging, and a corpus-LM quality proxy.
+"""Change-data-capture / dimension-maintenance operators plus the
+relational completeness set: MERGE-style upsert, SCD type-2 history
+build, fixed-width histogramming, variance outlier flagging, a
+corpus-LM quality proxy, typed JSON extraction, the ranking-window
+family, INTERSECT/EXCEPT cohorts, the TPC-H Q17 scalar-subquery
+shape, and the null-safe equi-join.
 
 These are the incremental-maintenance shapes a reference user runs
 around the scraped store (the reference's own history ledger + compactor
@@ -450,3 +453,39 @@ def set_intersect_except(spark, sf_dir):
         F.lit("click_only").alias("cohort"), "user_id"
     )
     return both.unionByName(only)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, NULLIF(event_type, 'error') AS k FROM events
+    ),
+    r AS (
+      SELECT NULLIF(event_type, 'error') AS k,
+             CAST(COUNT(*) AS BIGINT) AS type_total
+      FROM events GROUP BY 1
+    )
+    SELECT l.event_id, l.k AS join_key, r.type_total
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    tags=("J-nullsafe",),
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL instead of dropping — the semantics dimension-lookup
+    joins need when 'unknown' is itself a valid key. The 'error' type
+    is nullified on both sides, so every error event must still find
+    its (NULL-keyed) total. Spark lowers eqNullSafe to an ordinary
+    hash/sort-merge join on the coalesced key structure — no nested
+    loop — and the grouped right side stays broadcast-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    left = ev.select("event_id", k.alias("k"))
+    right = ev.select(k.alias("k")).groupBy("k").agg(
+        F.count("*").alias("type_total")
+    )
+    return left.join(
+        right.withColumnRenamed("k", "rk"), left.k.eqNullSafe(F.col("rk"))
+    ).select("event_id", F.col("k").alias("join_key"), "type_total")
