@@ -241,6 +241,15 @@ def minhash_lsh_pairs_md5(spark, sf_dir):
     band bucket join (linear, geometry-controlled), semi-join prune,
     per-pair O(|a|+|b|) set intersect."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    return lsh_verified_pairs_md5(d, threshold=0.2)
+
+
+def lsh_verified_pairs_md5(d, threshold: float):
+    """The md5 (oracle-portable) twin of lsh_verified_pairs over a
+    (doc_id, text) frame: 8 md5 minhash sigs → 4 bands of 2 → bucket
+    candidates → pair-local set-intersect verify ≥ threshold. Used by
+    minhash_lsh_pairs_md5 and the end-to-end hash-gated dup-group
+    closure (corpus_ops.dedup_groups_lsh_md5)."""
     sh = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
@@ -303,7 +312,7 @@ def minhash_lsh_pairs_md5(spark, sf_dir):
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", n_common.alias("n_common"), jac.alias("jaccard"))
     )
 
