@@ -355,3 +355,22 @@ def test_sql_views_push_down(spark, sf_dir):
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
     assert "l_extendedprice" not in read_schema
     assert df.count() > 0
+
+
+def test_range_frame_and_locf_single_exchange(spark, sf_dir):
+    """Time-RANGE rolling sum and LOCF each shuffle once on the entity
+    key; the frame scan itself is a per-partition cursor."""
+    import re
+
+    for name in ("range_frame_rolling_sum", "locf_forward_fill"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
+        assert len(shuffles) == 1, (name, _tree(p))
+
+
+def test_null_safe_join_no_nested_loop(spark, sf_dir):
+    """eqNullSafe must lower to a hash/sort-merge join, never the
+    quadratic fallback."""
+    p = plan(REGISTRY["join_null_safe"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
