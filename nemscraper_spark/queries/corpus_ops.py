@@ -1177,3 +1177,49 @@ def dedup_groups_lsh_md5(spark, sf_dir):
         "component",
         F.count("*").over(w).alias("n_members"),
     )
+
+
+@register(
+    "corpus_profile_report",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+             AS dup_rate,
+           CAST(SUM(CAST(n_chars AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*)
+             AS mean_chars,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.95) AS p95_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("profile", "stats"),
+)
+def corpus_profile_report(spark, sf_dir):
+    """The corpus health panel every ingestion pipeline publishes per
+    (lang, source) cell: volume, exact-dup rate (via content hash —
+    COUNT DISTINCT of md5, the mergeable form of dedup_exact's
+    grouping), and the length distribution (mean via DECIMAL-exact
+    sum, exact p50/p95). One pass, one shuffle on the low-cardinality
+    grouping key; COUNT(DISTINCT) expands to a two-level aggregate
+    Spark plans as partial-distinct map-side, so raw texts never
+    shuffle — only (cell, hash) pairs. The report is the gating input
+    for mixture_resample_weighted's weights and the dup-rate trigger
+    for the dedup pipeline.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (
+            (F.count("*") - F.countDistinct(F.md5("text"))).cast("double")
+            / F.count("*")
+        ).alias("dup_rate"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(25,0)")).cast("double")
+            / F.count("*")
+        ).alias("mean_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+    )
