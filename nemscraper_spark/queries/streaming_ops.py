@@ -229,3 +229,59 @@ def streaming_session_windows(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, ts AS fc_ts, value AS fc_value
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT e.event_id, e.user_id, e.ts, f.fc_ts, f.fc_value
+    FROM events e
+    JOIN fc f
+      ON e.user_id = f.user_id
+     AND f.fc_ts >= e.ts - INTERVAL '1 hour'
+     AND f.fc_ts <= e.ts
+    """,
+    tags=("streaming", "J5"),
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join as a REAL streaming query: the event
+    stream inner-joined to a sparse forecast stream (every 20th event)
+    on user_id with the forecast timestamp inside the event's trailing
+    hour — the continuous form of J5's range join and the attribution
+    shape `streaming/join.py` implements as an operator. INNER join
+    rows emit as soon as both sides arrive (the watermark bounds STATE
+    retention, not emission), so a bounded AvailableNow replay must
+    equal the batch interval join exactly — joined values are copied,
+    never recomputed, so the hash gate is exact. State per key is the
+    1-hour horizon of both sides — the property that holds at
+    100 TB/day.
+    """
+    stream, stage = _staged_stream(spark, sf_dir)
+    left = stream.select(
+        "event_id", "user_id", "ts", F.col("ts_w").alias("e_ts")
+    ).withWatermark("e_ts", "1 hour")
+    right = (
+        stream.filter(F.col("event_id") % 20 == 0)
+        .select(
+            F.col("user_id").alias("fc_user"),
+            F.col("ts").alias("fc_ts"),
+            F.col("ts_w").alias("f_ts"),
+            F.col("value").alias("fc_value"),
+        )
+        .withWatermark("f_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("fc_user"))
+        & (F.col("f_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("f_ts") <= F.col("e_ts")),
+        "inner",
+    ).select("event_id", "user_id", "ts", "fc_ts", "fc_value")
+    out = _run_to_memory(
+        joined, stage, "nemspark_streaming_interval_join", "append"
+    )
+    return out
