@@ -25,17 +25,20 @@ if _REPO not in sys.path:
 
 from nemscraper_spark.queries import REGISTRY  # noqa: E402
 
-# Names that already earned a green driver CORRECTNESS row in round 1
-# (CORRECTNESS_r01.json: 50/50 rows+schema+hash green, zero err). The
-# round-1 driver verified exactly the first 50 entries of the queries()
-# dict in iteration order, so round 2 puts the 51 not-yet-checked
-# queries FIRST — ingest/compaction ETL semantics up front (the
-# reference's core pipeline, src/bin/verify.rs / src/bin/compactor.rs),
-# then the training-data/corpus surface — and the already-green 50
-# after them. Nothing is removed: if the driver checks more than 50,
-# every query still gets a row.
-_R01_DRIVER_GREEN = frozenset(
+# Names with a cumulative hash-green driver CORRECTNESS row across
+# rounds 1-2 (CORRECTNESS_r01.json 50/50 + CORRECTNESS_r02.json 48
+# green; the two r02 `no_oracle` ETL rows are NOT in this set — they
+# gained a real DuckDB oracle this round and re-queue first). The
+# driver verifies the first ~50 entries of the queries() dict in
+# iteration order, so round 3 puts the not-yet-hash-green queries
+# FIRST — the re-oracled ETL round trips, then every other
+# oracle-bearing unchecked query (streaming, CDC, late round-2
+# additions, new round-3 queries), then the rows-only set — and the
+# already-green 98 after them. Nothing is removed: if the driver
+# checks more than 50, every query still gets a row.
+_DRIVER_GREEN = frozenset(
     {
+        # round 1 (50)
         "select_alias", "filter_eq", "filter_in", "filter_time_range",
         "project_arithmetic", "case_when", "coalesce_fill", "cast_types",
         "string_clean", "str_to_double_roundtrip", "date_from_filename",
@@ -53,37 +56,48 @@ _R01_DRIVER_GREEN = frozenset(
         "exact_quantiles_by_type", "fpp_reference_trajectory",
         "fpp_unit_deviations", "fpp_performance", "fpp_interval_charge",
         "fpp_frequency_measure_ewma", "dedup_exact",
+        # round 2 (48)
+        "mad_by_type", "covar_value_props", "range_frame_rolling_sum",
+        "locf_forward_fill", "fpp_actual_performance",
+        "ngram_jaccard_pairs", "minhash_signatures_md5",
+        "minhash_lsh_pairs_md5", "simhash_fingerprint",
+        "cosine_topk_bruteforce", "text_quality_score",
+        "lang_id_heuristic", "token_count_regex", "doc_chunk_windows",
+        "doc_winnow_fingerprint", "multimodal_decode_stub",
+        "dedup_embedding_cosine", "multimodal_image_resize",
+        "multimodal_frame_sample", "training_corpus_pipeline",
+        "embedding_quantize_int8", "quality_filter_gopher",
+        "dedup_rate_by_source", "minhash_jaccard_estimate",
+        "sql_dashboard_totals", "asof_join_backward", "skew_salted_agg",
+        "rollup_totals", "grouping_sets_matrix", "unpivot_metrics",
+        "pivot_status_by_flag", "join_range_bucketed",
+        "dashboard_state_timeline", "skew_salted_join",
+        "dedup_cluster_components", "train_test_split_hash",
+        "vocab_top_tokens", "tfidf_top_terms",
+        "decontaminate_train_ngrams", "decontaminate_train_bloom",
+        "sequence_packing", "doc_repetition_score", "sample_uniform_hash",
+        "sample_stratified_topn", "redact_denylist_terms",
+        "mixture_resample_weighted", "mixture_upsample_epochs",
+        "dup_passage_spans",
     }
 )
 
 # Highest-priority unchecked queries: the reference's core ETL
-# semantics (ingest conservation + compaction round trip) get driver
-# rows before anything else this round.
+# semantics, newly backed by a real DuckDB oracle (D-line recount over
+# the staged fixture), replace their round-2 `no_oracle` rows first.
 _PRIORITY_FIRST = ("nem_ingest_conservation", "nem_compaction_roundtrip")
-
-# If the driver again caps at 50 rows, the overflow should cost the
-# least signal: rows-only entries (no hash gate — the driver row adds
-# little beyond the in-repo recall/invariant tests) and two trivial
-# oracle queries (metadata row counts, a DDL wrapper) sort after every
-# other oracle-bearing unchecked query.
-_DEPRIORITIZED = ("parquet_footer_rowcounts", "catalog_external_table")
 
 
 def _driver_order() -> list[str]:
     rest = [
         n
         for n in REGISTRY
-        if n not in _R01_DRIVER_GREEN and n not in _PRIORITY_FIRST
+        if n not in _DRIVER_GREEN and n not in _PRIORITY_FIRST
     ]
-    oracle_first = sorted(
-        rest,
-        key=lambda n: (
-            n in _DEPRIORITIZED,
-            REGISTRY[n].oracle is None,
-            rest.index(n),
-        ),
-    )
-    checked = [n for n in REGISTRY if n in _R01_DRIVER_GREEN]
+    # Oracle-bearing unchecked queries first (hash gate = full signal),
+    # rows-only entries after them, registry order within each class.
+    oracle_first = sorted(rest, key=lambda n: (REGISTRY[n].oracle is None,))
+    checked = [n for n in REGISTRY if n in _DRIVER_GREEN]
     return [*_PRIORITY_FIRST, *oracle_first, *checked]
 
 

@@ -124,10 +124,10 @@ def _warm(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    # Worst-case wall clock ~= budget + one repeat (~2 min at 123
-    # queries, so <= ~8.5 min total even through a steal burst); a
-    # quiet box finishes two repeats under the check and still gets
-    # all 3 repeats for the median.
+    # Worst-case wall clock ~= budget + one full repeat of the current
+    # suite (the budget check runs between repeats, so the last repeat
+    # started under budget always finishes); a quiet box finishes two
+    # repeats under the check and still gets all 3 for the median.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "360"))
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
 

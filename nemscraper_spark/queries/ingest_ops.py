@@ -34,8 +34,57 @@ _NEM_CSV = "\r\n".join(
 )
 _D_ROWS = {"FPP---UNIT_MW---1": 3, "FPP---REGION_FREQ_MEASURE---1": 2}
 
+# The ETL round trips return conservation invariants (D-rows in the raw
+# NEM CSV == rows in the parquet output — verify.rs:56-133).  To give
+# them a REAL cross-engine oracle instead of a rows-only check, the
+# fixture CSV is staged at a deterministic path at import time so DuckDB
+# can independently recount the D-lines from the raw bytes: the oracle
+# asserts parquet_rows == its own D-line count, so any row dropped or
+# duplicated by the Spark ingest breaks the hash gate.
+_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "nemspark_fixture")
+_FIXTURE_CSV = os.path.join(_FIXTURE_DIR, "nem_fixture.csv")
 
-@register("nem_ingest_conservation", oracle=None, tags=("S5", "S6", "S7", "M7"))
+
+def _stage_fixture() -> str:
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    data = _NEM_CSV.encode()
+    if not (
+        os.path.exists(_FIXTURE_CSV) and os.path.getsize(_FIXTURE_CSV) == len(data)
+    ):
+        with open(_FIXTURE_CSV, "wb") as f:
+            f.write(data)
+    return _FIXTURE_CSV
+
+
+_stage_fixture()
+
+# DuckDB-side recount of the D-lines, shared by both ETL oracles.
+_ORACLE_D_COUNTS = f"""
+    WITH l AS (
+      SELECT unnest(str_split(content, chr(13)||chr(10))) AS line
+      FROM read_text('{_FIXTURE_CSV}')
+    ),
+    counts AS (
+      SELECT 'FPP---UNIT_MW---1' AS table_key,
+             CAST(COUNT(*) FILTER (WHERE line LIKE 'D,FPP,UNIT_MW,1,%') AS BIGINT) AS d
+      FROM l
+      UNION ALL
+      SELECT 'FPP---REGION_FREQ_MEASURE---1' AS table_key,
+             CAST(COUNT(*) FILTER (WHERE line LIKE 'D,FPP,REGION_FREQ_MEASURE,1,%') AS BIGINT) AS d
+      FROM l
+    )
+"""
+
+
+@register(
+    "nem_ingest_conservation",
+    oracle=_ORACLE_D_COUNTS
+    + """
+    SELECT table_key, d AS parquet_rows, d AS d_rows, TRUE AS conserved
+    FROM counts
+    """,
+    tags=("S5", "S6", "S7", "M7"),
+)
 def nem_ingest_conservation(spark, sf_dir):
     """S4-S7 + M7: split a NEM ZIP → typed partitioned parquet, then
     emit the conservation check (D-rows == parquet rows per table —
@@ -62,7 +111,16 @@ def nem_ingest_conservation(spark, sf_dir):
     )
 
 
-@register("nem_compaction_roundtrip", oracle=None, tags=("M3", "M4", "S11"))
+@register(
+    "nem_compaction_roundtrip",
+    oracle=_ORACLE_D_COUNTS
+    + """
+    SELECT table_key, 2 * d AS rows, 2 * d AS expected_rows,
+           CAST(1 AS INTEGER) AS files_after
+    FROM counts
+    """,
+    tags=("M3", "M4", "S11"),
+)
 def nem_compaction_roundtrip(spark, sf_dir):
     """M4: ingest twice (small files pile up) → compact each partition
     to one file under the evolved schema → row counts preserved."""

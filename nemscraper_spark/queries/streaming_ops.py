@@ -36,10 +36,22 @@ from nemscraper_spark.queries.common import (
 )
 
 
+# The staged source parquet is identical for all four streaming
+# queries in a session (it is just the normalized events table), so it
+# is staged ONCE per (session, sf_dir) and shared — re-staging per
+# query was ~2 s of pure write I/O apiece.  Only checkpoints are
+# per-query.  The stage lives under the system temp dir for the
+# process lifetime (a few MB at driver scale); production streams read
+# the ingest sink's directory directly and never stage at all.
+_STAGE_CACHE: dict[tuple[int, str, str], str] = {}
+
+
 def _staged_stream(spark, sf_dir, name="events"):
     """Normalize the events table (NANOS ts → TIMESTAMP_NTZ via
     load_table) and stage it as a parquet directory a file-source
-    stream can read.  Returns (streaming_df, stage_dir).
+    stream can read.  Returns (streaming_df, stage_dir) — the stage
+    dir is shared across queries (see _STAGE_CACHE) and must NOT be
+    deleted by the caller.
 
     The driver's testdata is one parquet FILE; Spark's file stream
     source wants a directory it can list for new files — exactly the
@@ -48,10 +60,13 @@ def _staged_stream(spark, sf_dir, name="events"):
     workaround.
     """
     ev = load_table(spark, sf_dir, name)
-    stage = tempfile.mkdtemp(prefix="nemspark-stream-")
-    src = os.path.join(stage, "src")
-    ev.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+    key = (id(spark), sf_dir, name)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "src")):
+        stage = tempfile.mkdtemp(prefix="nemspark-stream-")
+        ev.write.mode("overwrite").parquet(os.path.join(stage, "src"))
+        _STAGE_CACHE[key] = stage
+    stream = spark.readStream.schema(ev.schema).parquet(os.path.join(stage, "src"))
     # Watermarks require TIMESTAMP (instant) — the table carries
     # TIMESTAMP_NTZ.  Track event time on a cast twin (`ts_w`); under a
     # fixed session timezone the ntz→ts→ntz round trip is the identity,
@@ -63,8 +78,10 @@ def _staged_stream(spark, sf_dir, name="events"):
 
 def _run_to_memory(result_stream, stage, query_name, output_mode):
     """Run the stream to completion under Trigger.AvailableNow into a
-    memory sink; return the sink table as a DataFrame."""
-    ckpt = os.path.join(stage, "ckpt")
+    memory sink; return the sink table as a DataFrame.  The checkpoint
+    is private to this run and removed afterwards; the staged source
+    (shared — see _STAGE_CACHE) is left in place."""
+    ckpt = tempfile.mkdtemp(prefix=f"nemspark-ckpt-{query_name}-")
     spark = result_stream.sparkSession
     # Stateful operators key their state store on
     # spark.sql.shuffle.partitions AT QUERY START (no AQE coalescing in
@@ -92,9 +109,9 @@ def _run_to_memory(result_stream, stage, query_name, output_mode):
             spark.conf.set(key, prev)
     q.awaitTermination()
     out = result_stream.sparkSession.table(query_name)
-    # The memory sink holds its rows on the driver; the staged source
-    # files and checkpoint are no longer needed once the run finishes.
-    shutil.rmtree(stage, ignore_errors=True)
+    # The memory sink holds its rows on the driver; this run's
+    # checkpoint is no longer needed once the run finishes.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 

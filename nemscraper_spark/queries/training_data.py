@@ -298,10 +298,14 @@ def lsh_verified_pairs_md5(d, threshold: float):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # Intersect the shingle STRINGS, exactly as the DuckDB oracle does
+    # (the xxhash64 production twin keeps 8-byte sets; this md5 twin is
+    # the cross-engine proof, so its verify must be collision-free —
+    # a 64-bit hash collision here would silently shift n_common).
     sets = (
         sh.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("ss"))
+        .agg(F.collect_set("shingle").alias("ss"))
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
@@ -1975,12 +1979,15 @@ def minhash_jaccard_estimate(spark, sf_dir):
     )
     # exact Jaccard ONLY for candidate pairs, via the same pair-local
     # set-intersect as lsh_verified_pairs: semi-join the inverted index
-    # down to candidate docs, aggregate each doc's shingles into a
-    # 64-bit-hash set, intersect inside the pair row. Never a shingle
-    # self-join — a hot shingle shared by m docs costs m set entries,
-    # not m^2 join rows. Every candidate pair shares its argmin shingle
-    # (equal min-sig => same shingle), so n_common >= 1 and no pair is
-    # lost vs the oracle's inner join to the full intersection CTE.
+    # down to candidate docs, aggregate each doc's shingles into a set,
+    # intersect inside the pair row. Never a shingle self-join — a hot
+    # shingle shared by m docs costs m set entries, not m^2 join rows.
+    # Every candidate pair shares its argmin shingle (equal min-sig =>
+    # same shingle), so n_common >= 1 and no pair is lost vs the
+    # oracle's inner join to the full intersection CTE. The sets hold
+    # the shingle STRINGS — identical value sets to the oracle's
+    # intersection, so neither n_common nor the size(ss) denominator
+    # can be perturbed by a hash collision.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1989,7 +1996,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     sets = (
         sh.join(cand_docs, "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("ss"))
+        .agg(F.collect_set("shingle").alias("ss"))
     )
     pa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
     pb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))

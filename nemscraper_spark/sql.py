@@ -38,7 +38,20 @@ def register_views(
     return names
 
 
+# register_views is idempotent but createOrReplaceTempView CLOBBERS any
+# same-named view the session already holds (e.g. a user's own `events`
+# view). sql() therefore registers each (session, sf_dir) combination
+# only once — callers who need isolation pass suffix to register_views
+# and qualify their SQL accordingly.
+_REGISTERED: dict[int, str] = {}
+
+
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """One-call convenience: register the views, run the SQL."""
-    register_views(spark, sf_dir)
+    """One-call convenience: register the views (once per session, and
+    again whenever sf_dir changes so the unsuffixed names always point
+    at the sf_dir of the MOST RECENT call — see note above), run the
+    SQL."""
+    if _REGISTERED.get(id(spark)) != sf_dir:
+        register_views(spark, sf_dir)
+        _REGISTERED[id(spark)] = sf_dir
     return spark.sql(query)
