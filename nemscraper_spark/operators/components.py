@@ -63,11 +63,19 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 12
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 12,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Edge list -> (node long, component long) with component = min node
     id reachable from `node`.  Includes every node that appears in an
     edge (callers union in singletons if they need them labeled).
+
+    Pass ``stats={}`` to receive {"rounds": <star rounds executed>,
+    "edges": <per-round edge counts>} — the observable that confirms the
+    O(log n) bound at scale (scripts/cc_depth_probe.py records it).
     """
     spark = edges.sparkSession
 
@@ -108,6 +116,9 @@ def connected_components(
     # only the final round's blocks — which the returned DataFrame
     # still reads — outlive the call.
     cur_id = _checkpoint_rdd_id(e)
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edges"] = []
     prev_sig = None
     for _ in range(max_rounds):
         # lazy checkpoint: the convergence probe below is the action
@@ -125,6 +136,9 @@ def connected_components(
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["edges"].append(sig[0])
         _unpersist(cur_id)
         cur_id = new_id
         if sig == prev_sig:

@@ -21,5 +21,7 @@ from nemscraper_spark.queries import streaming_ops  # noqa: E402,F401
 from nemscraper_spark.queries import clustering  # noqa: E402,F401
 from nemscraper_spark.queries import cdc_ops  # noqa: E402,F401
 from nemscraper_spark.queries import layout_ops  # noqa: E402,F401
+from nemscraper_spark.queries import dashboard_sql  # noqa: E402,F401
+from nemscraper_spark.queries import corpus_health  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "load_table", "register"]

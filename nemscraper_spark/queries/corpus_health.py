@@ -1,0 +1,692 @@
+"""Round-3 corpus-health / training-data operators.
+
+Closes remaining gaps in the LLM-data-pipeline surface: SimHash-based
+near-dup PAIRING (the fingerprint existed; the scalable band-join that
+turns it into candidate pairs didn't), language-ID quality reporting,
+duplicate-cluster statistics, cross-source contamination, per-dimension
+embedding statistics (the pre-pass ANN/quantization needs), interval
+union/merge coverage, and windowed rolling medians.
+
+Every query has a full DuckDB oracle and follows the repo's scale
+rules: no self-joins on hot keys without a distinct/group reduction
+first, DECIMAL accumulation for order-independent float sums,
+map-side-partial-friendly aggregations, and band-bucket joins for the
+pairing steps (linear in corpus size, geometry-bounded candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries.common import (
+    REGISTRY,
+    fan_out,
+    load_table,
+    register,
+)
+from nemscraper_spark.operators.asof import asof_join
+from nemscraper_spark.queries.corpus_ops import _BUCKET_SQL, _md5_bucket
+from nemscraper_spark.queries.training_data import (
+    _LSH_MD5_CAND_SQL,
+    lang_id_heuristic,
+    lsh_candidate_sets_md5,
+    simhash_fingerprint,
+)
+
+# ------------------------------------------------------------------ dedup --
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH sim AS ({REGISTRY["simhash_fingerprint"].oracle}),
+    b AS (
+      SELECT doc_id, simhash, t.b AS band,
+             (simhash >> (8 * t.b)) & 255 AS chunk
+      FROM sim, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+      FROM b x JOIN b y
+        ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at scale: 32-bit fingerprint → 4 bands of
+    8 bits → bucket-join on (band, chunk) → verify hamming ≤ 3 on the
+    full fingerprint. Pigeonhole: any pair within hamming 3 of each
+    other has ≥1 clean band, so the band join is RECALL-COMPLETE for
+    the ≤3 threshold — unlike MinHash banding this is exact, not
+    probabilistic. Linear in corpus size; candidates bounded by band
+    geometry; the verify is one codegen'd bit_count per candidate —
+    the same design Google used for web-scale near-dup detection
+    (Manku et al., WWW'07).
+    """
+    sim = simhash_fingerprint(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    la = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "chunk",
+    )
+    lb = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "chunk",
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)").cast("long")
+    return (
+        la.join(lb, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+# Winnowing fingerprint per doc (same kernel as doc_winnow_fingerprint:
+# min md5 over all char-16-gram shingles — robust to small edits, so
+# near-identical docs collapse to one key even when no EXACT duplicate
+# exists, which is the realistic corpus shape).
+_WINNOW_FP_SQL = """
+      SELECT doc_id, source, MIN(md5(substr(text, i, 16))) AS winnow_fp
+      FROM documents, UNNEST(generate_series(1, length(text) - 15)) AS t(i)
+      WHERE length(text) >= 16
+      GROUP BY doc_id, source
+"""
+
+
+def _winnow_fp(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 16
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 15),"
+                " i -> md5(substr(text, i, 16)))"
+            )
+        ).alias("h"),
+    ).groupBy("doc_id", "source").agg(F.min("h").alias("winnow_fp"))
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH fp AS ({_WINNOW_FP_SQL}),
+    g AS (
+      SELECT winnow_fp, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM fp GROUP BY winnow_fp
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM g GROUP BY sz
+    """,
+    tags=("dedup", "corpus-health"),
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster size histogram — the corpus-health number a
+    dedup run is judged by (how much of the corpus sits in clusters of
+    size 2, 3, …). Cluster key = winnowing fingerprint, so clusters
+    capture near-identical docs, not just byte-exact ones (this corpus
+    has zero exact dups but ~14% fingerprint-level near-dups). After
+    the fingerprint kernel: two map-side-partial aggregations on
+    bounded keys, no joins — at 100 TB the same linear hash-agg as
+    dedup_exact."""
+    fp = _winnow_fp(spark, sf_dir)
+    g = fp.groupBy("winnow_fp").agg(F.count("*").alias("sz"))
+    return g.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+
+
+@register(
+    "cross_source_contamination",
+    oracle=f"""
+    WITH fp AS ({_WINNOW_FP_SQL}),
+    d AS (SELECT DISTINCT winnow_fp, source FROM fp),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.winnow_fp
+      FROM d a JOIN d b
+        ON a.winnow_fp = b.winnow_fp AND a.source < b.source
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM p GROUP BY source_a, source_b
+    """,
+    tags=("dedup", "corpus-health"),
+)
+def cross_source_contamination(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct winnow fingerprints appear in both — the report that
+    decides which crawl snapshots to drop before training. Skew-safe
+    by construction: (fingerprint, source) is DISTINCT-reduced BEFORE
+    the self-join, so a text repeated m times within a source costs one
+    row, and a hot fingerprint's join fan-out is bounded by the number
+    of SOURCES (a fixed small dimension), never by its duplicate
+    count."""
+    fp = _winnow_fp(spark, sf_dir)
+    hs = fp.select("winnow_fp", "source").distinct()
+    a = hs.select("winnow_fp", F.col("source").alias("source_a"))
+    b = hs.select("winnow_fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "winnow_fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+
+
+# ------------------------------------------------------------------- text --
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS ({REGISTRY["lang_id_heuristic"].oracle})
+    SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """,
+    tags=("text", "corpus-health"),
+)
+def lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (actual × predicted counts) — the
+    eval table that calibrates the lang-ID heuristic before it gates a
+    corpus. Reuses lang_id_heuristic's per-doc scoring (pure codegen
+    regex counts) and adds one bounded-cardinality aggregation."""
+    pred = lang_id_heuristic(spark, sf_dir)
+    return pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ------------------------------------------------------------- embeddings --
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e[t.i] AS DECIMAL(25,10))) AS DOUBLE) AS sum_val,
+           CAST(SUM(CAST(e[t.i] AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mean_val,
+           CAST(MIN(e[t.i]) AS DOUBLE) AS min_val,
+           CAST(MAX(e[t.i]) AS DOUBLE) AS max_val
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings) s,
+         UNNEST(generate_series(1, 64)) AS t(i)
+    GROUP BY t.i
+    """,
+    tags=("similarity", "corpus-health"),
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (n/sum/mean/min/max) — the
+    normalization pre-pass every ANN index and quantizer needs (PQ and
+    int8 quantization both calibrate on per-dim ranges). posexplode →
+    one map-side-partial aggregation on a 64-value key: linear scan,
+    no shuffle skew possible, output size = dim count. DECIMAL
+    accumulation keeps the sums order-independent so the mean is
+    bit-identical at any parallelism (dim count is data-dependent in
+    production; the probe uses this table's fixed 64)."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    dims = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    sum_dec = F.sum(F.col("v").cast("decimal(25,10)")).cast("double")
+    return dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        sum_dec.alias("sum_val"),
+        (sum_dec / F.count("*")).alias("mean_val"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+
+
+# ------------------------------------------------------------- timeseries --
+
+
+@register(
+    "interval_merge_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e FROM events
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    sid AS (
+      SELECT user_id, s, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM g
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS m_start, MAX(e) AS m_end
+      FROM sid GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(epoch_us(m_end) - epoch_us(m_start)) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+    tags=("W-islands", "timeseries"),
+)
+def interval_merge_coverage(spark, sf_dir):
+    """Interval union/merge: each event opens a 5-minute activity
+    interval; per user, overlapping/touching intervals merge and the
+    query reports merged-interval count + total covered microseconds —
+    the classic coverage/attribution operator (uptime, ad exposure,
+    sensor validity windows). The merge is the running-max island
+    pattern: an interval starts a new island iff its start exceeds the
+    max end seen so far. One shuffle on user_id; windows and both
+    aggregations reuse that partitioning, and island state is O(1) per
+    row — at 100 TB this is a single repartition + linear pass."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    brk = F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sid = iv.select(
+        "user_id", "s", "e", F.sum(brk).over(w_run).alias("island")
+    )
+    merged = sid.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    span_us = F.unix_micros(
+        F.col("m_end").cast("timestamp")
+    ) - F.unix_micros(F.col("m_start").cast("timestamp"))
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(span_us).alias("covered_us"),
+    )
+
+
+@register(
+    "rolling_median_window",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM events
+    """,
+    tags=("W4", "timeseries"),
+)
+def rolling_median_window(spark, sf_dir):
+    """Rolling 7-row median per user — the robust-smoothing twin of
+    running_window_sum (medians shrug off the spikes that wreck rolling
+    means). Spark's `percentile` and DuckDB's `quantile_cont` share the
+    same interpolated-quantile definition, so the hash gate is exact.
+    One shuffle on user_id; the frame is row-bounded so state per
+    window is O(7)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("med7"),
+    )
+
+
+@register(
+    "minhash_containment_pairs",
+    oracle=_LSH_MD5_CAND_SQL
+    + """
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def minhash_containment_pairs(spark, sf_dir):
+    """Containment near-dup pairs (Broder's c(A,B) = |A∩B| / |A|,
+    reported symmetrically as n_common / min(|A|,|B|)): catches the
+    near-SUPERSET duplicates Jaccard misses — a short doc fully
+    embedded in a longer one has low Jaccard (union is large) but
+    containment ≈ 1, the common shape when a crawl re-wraps an article
+    with boilerplate. Same md5-LSH candidate machinery as
+    minhash_lsh_pairs_md5 (lsh_candidate_sets_md5 — linear banding,
+    semi-join prune, pair-local string-set intersect), different
+    verify measure."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_sets_md5(d)
+    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    cont = n_common.cast("double") / F.least(
+        F.size("sa").cast("bigint"), F.size("sb").cast("bigint")
+    )
+    return (
+        pairs.filter(cont >= 0.5)
+        .select(
+            "doc_a", "doc_b", n_common.alias("n_common"),
+            cont.alias("containment"),
+        )
+    )
+
+
+@register(
+    "contamination_rate_report",
+    oracle=f"""
+    WITH b AS ({_BUCKET_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS ngram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    test_sh AS (
+      SELECT DISTINCT ngram FROM sh JOIN b USING (doc_id) WHERE bucket >= 230
+    ),
+    hits AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh JOIN b USING (doc_id) JOIN test_sh USING (ngram)
+      WHERE b.bucket < 204
+    ),
+    train AS (
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN b USING (doc_id) WHERE b.bucket < 204
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*) AS contamination_rate
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY t.source
+    """,
+    tags=("decontaminate", "corpus-health"),
+)
+def contamination_rate_report(spark, sf_dir):
+    """Per-source contamination RATE — the governance report behind
+    decontaminate_train_ngrams' row-level flags: for each source, what
+    fraction of its train-split docs share a 4-gram with the eval
+    split. Same broadcast eval-n-gram join (the eval side is always
+    small), then one bounded-cardinality aggregation; the train side
+    never shuffles on the n-gram key. This is the number that decides
+    whether a source is dropped, re-scraped, or surgically filtered."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            _md5_bucket().alias("bucket"),
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 4),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))"
+                )
+            ).alias("ngram"),
+        )
+    )
+    test_sh = sh.filter(F.col("bucket") >= 230).select("ngram").distinct()
+    hits = (
+        sh.filter(F.col("bucket") < 204)
+        .join(F.broadcast(test_sh), "ngram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = d.select("doc_id", "source", _md5_bucket().alias("bucket")).filter(
+        F.col("bucket") < 204
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count("*")).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "pii_scrub_regex",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 > 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                THEN ' call +61 400 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\+\d{2} \d{3} \d{3}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+\d{2} \d{3} \d{3}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+    tags=("text", "redact"),
+)
+def pii_scrub_regex(spark, sf_dir):
+    """PII scrubbing by regex (emails, phone numbers) — the masking
+    pass every training corpus runs after the denylist scrub
+    (redact_denylist_terms). The corpus has no real PII, so the query
+    first SYNTHESIZES it deterministically per doc_id (both engines
+    apply the same augmentation, so the oracle still checks the scrub,
+    not the fixture). Patterns stay inside the Java-regex ∩ RE2 common
+    subset so Spark and DuckDB compile them identically; the whole op
+    is a codegen projection — no shuffle, embarrassingly parallel at
+    any scale. DuckDB needs the 'g' flag to match Spark's replace-all
+    semantics."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+\d{2} \d{3} \d{3}"
+    # no fan_out: this is a pure projection — the plan must stay
+    # Exchange-free (pinned in test_plan_quality), and on a real
+    # cluster the scan's natural splits already parallelize it
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 > 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +61 400 "),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        # F.regexp_extract_all takes the pattern as a literal column —
+        # no SQL-string escaping layer to corrupt the backslashes
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(phone_re), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+@register(
+    "group_concat_sorted",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id
+    """,
+    tags=("A-string",),
+)
+def group_concat_sorted(spark, sf_dir):
+    """Deterministic ordered string aggregation (DuckDB/Postgres
+    string_agg ... ORDER BY): Spark's collect_set is order-unstable
+    across partitions, so the portable form is collect_set →
+    array_sort → concat_ws — same one-shuffle aggregation, with the
+    ordering done per-group after the partial-merge (bounded by the
+    distinct-value count, not the row count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "types_csv"
+            ),
+            F.count("*").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "char_trigram_lang_profile",
+    oracle="""
+    WITH tg AS (
+      SELECT lang, substr(text, i, 3) AS trigram
+      FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    c AS (
+      SELECT lang, trigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tg GROUP BY lang, trigram
+    )
+    SELECT lang, trigram, n, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT lang, trigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, trigram) AS rk
+      FROM c
+    ) WHERE rk <= 10
+    """,
+    tags=("text",),
+)
+def char_trigram_lang_profile(spark, sf_dir):
+    """Top-10 character trigrams per language — the profile table a
+    real char-n-gram language identifier trains on (lang_id_heuristic's
+    stopword lists are the toy stand-in; this builds the actual model
+    input). Explode is linear in corpus bytes; the count aggregates
+    map-side on a (lang, trigram) key whose cardinality is bounded by
+    the alphabet, and the top-10 is a per-lang TakeOrdered, never a
+    global sort."""
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 3
+    )
+    tg = d.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
+        ).alias("trigram"),
+    )
+    c = tg.groupBy("lang", "trigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "trigram")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "trigram", "n", "rk")
+    )
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, ts AS fc_ts, value AS fc_value
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT e.event_id, e.user_id, e.ts, f.fc_value
+    FROM events e
+    ASOF LEFT JOIN fc f ON e.user_id = f.user_id AND e.ts <= f.fc_ts
+    """,
+    tags=("J-asof",),
+)
+def asof_join_forward(spark, sf_dir):
+    """Forward as-of join: each event gets the EARLIEST forecast at or
+    after its timestamp, per user — the scheduling/lookahead twin of
+    asof_join_backward (next price revision, next maintenance window).
+    Same union-and-carry operator (operators/asof.py), direction
+    flipped: one shuffle on the key, no BNLJ; DuckDB's native forward
+    ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = ev.filter(F.col("event_id") % 20 == 0).select(
+        "user_id", F.col("ts").alias("fc_ts"), F.col("value").alias("fc_value")
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        fc,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="fc_ts",
+        value_cols=["fc_value"],
+        direction="forward",
+    )

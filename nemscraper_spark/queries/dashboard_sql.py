@@ -1,0 +1,130 @@
+"""Dashboard panels as LITERAL SQL text (SURVEY.md §3.3 breadth).
+
+The reference's Grafana dashboards issue raw DuckDB SQL over the
+parquet tree; a user migrating them to this engine pastes the panel
+text into ``nemscraper_spark.sql.sql()`` over the registered views.
+These queries prove that path end to end: each one is a single SQL
+string — written once, dialect-neutral — executed VERBATIM by both
+Spark (`spark.sql` over temp views) and the DuckDB oracle (views of
+the same parquet), so the driver's hash gate certifies true
+paste-compatibility, not just an equivalent DataFrame plan.
+
+Panel provenance (reference file:line):
+- latest-value-per-series via ROW_NUMBER:
+  grafana/dashboards/fpp.json:187 (ranked CTE, rn = 1)
+- byte-rate timeseries (two states union-stacked):
+  grafana/dashboards/files.json:795 ("Downloaded Input vs Processed
+  Output": time_bucket + SUM(size_bytes) per state)
+- scalar completion ratio:
+  grafana/dashboards/files.json:624 ("Percent Processed")
+- per-bucket file counts, two states:
+  grafana/dashboards/files.json:703 ("Files")
+
+Scale notes: every panel is a pushdown-friendly scan→filter→agg; the
+union-stacked panels scan the fact table once per state with the state
+filter pushed to parquet. ROW_NUMBER latest-per-key shuffles once on
+the partition key. All BIGINT/DOUBLE outputs are cast explicitly so
+both engines agree on schema; sums go through DECIMAL accumulation for
+order-independent hashes (queries/common.py:dec_sum rationale).
+"""
+
+from __future__ import annotations
+
+from nemscraper_spark.queries.common import register
+from nemscraper_spark.sql import sql as run_sql
+
+# fpp.json:187 — the "latest forecast per (run, duid, origin)" shape:
+# rank within the series by recency (with a total tiebreak) and keep
+# rn = 1. Output columns are exactly the ordering columns, so rank
+# ties cannot make the result nondeterministic.
+_LATEST_ROWNUM_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, value DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ts AS latest_ts, value AS latest_value
+FROM ranked
+WHERE rn = 1
+"""
+
+# files.json:795 — byte-rate per time bucket for two pipeline states,
+# union-stacked the way Grafana wants series.
+_BYTE_RATE_SQL = """
+SELECT date_trunc('hour', ts) AS time, 'Downloaded' AS metric,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY date_trunc('hour', ts)
+UNION ALL
+SELECT date_trunc('hour', ts) AS time, 'Processed' AS metric,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY date_trunc('hour', ts)
+"""
+
+# files.json:624 — single-stat completion ratio via scalar subqueries.
+_PERCENT_SQL = """
+SELECT CASE WHEN total_downloaded = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(total_processed AS DOUBLE) / total_downloaded
+       END AS percent_complete
+FROM (
+  SELECT (SELECT COUNT(*) FROM events
+          WHERE event_type IN ('click', 'view')) AS total_downloaded,
+         (SELECT COUNT(*) FROM events
+          WHERE event_type = 'purchase') AS total_processed
+) AS counts
+"""
+
+# files.json:703 — per-bucket event counts for two states. The day
+# bucket is CAST to TIMESTAMP because DuckDB's date_trunc('day') yields
+# DATE while Spark's yields TIMESTAMP — the cast makes the shared text
+# render identically in both engines.
+_FILE_COUNTS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,
+       CAST(COUNT(*) AS BIGINT) AS value, 'Downloaded' AS metric
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY date_trunc('day', ts)
+UNION ALL
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,
+       CAST(COUNT(*) AS BIGINT) AS value, 'Processed' AS metric
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY date_trunc('day', ts)
+"""
+
+
+@register("sql_latest_rownum_panel", oracle=_LATEST_ROWNUM_SQL, tags=("D-SQL", "W2"))
+def sql_latest_rownum_panel(spark, sf_dir):
+    """fpp.json:187's latest-forecast panel verbatim: ranked CTE with
+    ROW_NUMBER per series, keep rn = 1. One shuffle on the partition
+    key; at scale Spark runs it as a partial top-1 per key under AQE."""
+    return run_sql(spark, sf_dir, _LATEST_ROWNUM_SQL)
+
+
+@register("sql_byte_rate_panel", oracle=_BYTE_RATE_SQL, tags=("D-SQL", "A8"))
+def sql_byte_rate_panel(spark, sf_dir):
+    """files.json:795's byte-rate panel verbatim: time-bucketed DECIMAL
+    sums per state, union-stacked. State filters push to the scan; each
+    branch is a map-side partial agg."""
+    return run_sql(spark, sf_dir, _BYTE_RATE_SQL)
+
+
+@register("sql_percent_processed_panel", oracle=_PERCENT_SQL, tags=("D-SQL",))
+def sql_percent_processed_panel(spark, sf_dir):
+    """files.json:624's completion-ratio single-stat verbatim: two
+    scalar COUNT subqueries and a guarded division — metadata-cheap
+    (count-star over parquet statistics where possible)."""
+    return run_sql(spark, sf_dir, _PERCENT_SQL)
+
+
+@register("sql_file_counts_panel", oracle=_FILE_COUNTS_SQL, tags=("D-SQL", "A8"))
+def sql_file_counts_panel(spark, sf_dir):
+    """files.json:703's per-bucket file-count panel verbatim: day
+    buckets × two states, union-stacked counts."""
+    return run_sql(spark, sf_dir, _FILE_COUNTS_SQL)

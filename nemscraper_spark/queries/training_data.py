@@ -188,9 +188,11 @@ def minhash_signatures_md5(spark, sf_dir):
     )
 
 
-@register(
-    "minhash_lsh_pairs_md5",
-    oracle=f"""
+# md5-LSH candidate CTEs (shingles → 8 md5 sigs → 4 bands of 2 →
+# bucket-join candidates → per-doc shingle counts + pair intersection
+# counts), shared by the Jaccard (minhash_lsh_pairs_md5) and
+# containment (corpus_health.minhash_containment_pairs) oracles.
+_LSH_MD5_CAND_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sig AS (
       SELECT doc_id,
@@ -219,6 +221,13 @@ def minhash_signatures_md5(spark, sf_dir):
       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY c.doc_a, c.doc_b
     )
+"""
+
+
+@register(
+    "minhash_lsh_pairs_md5",
+    oracle=_LSH_MD5_CAND_SQL
+    + """
     SELECT i.doc_a, i.doc_b, i.n_common,
            CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
     FROM inter i
@@ -244,12 +253,14 @@ def minhash_lsh_pairs_md5(spark, sf_dir):
     return lsh_verified_pairs_md5(d, threshold=0.2)
 
 
-def lsh_verified_pairs_md5(d, threshold: float):
-    """The md5 (oracle-portable) twin of lsh_verified_pairs over a
-    (doc_id, text) frame: 8 md5 minhash sigs → 4 bands of 2 → bucket
-    candidates → pair-local set-intersect verify ≥ threshold. Used by
-    minhash_lsh_pairs_md5 and the end-to-end hash-gated dup-group
-    closure (corpus_ops.dedup_groups_lsh_md5)."""
+def lsh_candidate_sets_md5(d):
+    """Shared md5-LSH candidate machinery over a (doc_id, text) frame:
+    8 md5 minhash sigs → 4 bands of 2 → bucket-join candidates →
+    semi-join-pruned shingle sets per candidate doc. Returns one row
+    per candidate pair with both shingle-string sets attached
+    (doc_a, doc_b, sa, sb) — the verify MEASURE (Jaccard, containment)
+    is applied by the caller. Used by lsh_verified_pairs_md5 and
+    corpus_health.minhash_containment_pairs."""
     sh = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
@@ -309,14 +320,22 @@ def lsh_verified_pairs_md5(d, threshold: float):
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    return cand.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def lsh_verified_pairs_md5(d, threshold: float):
+    """The md5 (oracle-portable) twin of lsh_verified_pairs over a
+    (doc_id, text) frame: md5-LSH candidates (lsh_candidate_sets_md5)
+    → pair-local set-intersect exact-Jaccard verify ≥ threshold. Used
+    by minhash_lsh_pairs_md5 and the end-to-end hash-gated dup-group
+    closure (corpus_ops.dedup_groups_lsh_md5)."""
+    pairs = lsh_candidate_sets_md5(d)
     n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
     jac = n_common.cast("double") / (
         F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
+        pairs.filter(jac >= threshold)
         .select("doc_a", "doc_b", n_common.alias("n_common"), jac.alias("jaccard"))
     )
 

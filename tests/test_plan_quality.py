@@ -374,3 +374,74 @@ def test_null_safe_join_no_nested_loop(spark, sf_dir):
     p = plan(REGISTRY["join_null_safe"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_simhash_pairs_band_equi_join(spark, sf_dir):
+    """SimHash pairing must come from the (band, chunk) bucket equi-join
+    — never a quadratic all-pairs fallback."""
+    p = plan(REGISTRY["simhash_near_dup_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pii_scrub_is_shuffle_free_jvm_projection(spark, sf_dir):
+    """Regex PII scrub is row-local codegen: no Exchange, no Python
+    eval node, and the scan reads only doc_id + text."""
+    p = plan(REGISTRY["pii_scrub_regex"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_embedding_dim_stats_partial_agg(spark, sf_dir):
+    """Per-dim stats must partial-aggregate map-side (two HashAggregate
+    levels around the 64-key exchange) and contain no join."""
+    p = plan(REGISTRY["embedding_dim_stats"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
+
+
+def test_interval_merge_single_user_shuffle(spark, sf_dir):
+    """The islands merge must reuse ONE user_id shuffle across both
+    window passes and both aggregations — hashpartitioning(user_id)
+    satisfies every downstream clustering requirement."""
+    import re
+
+    p = plan(REGISTRY["interval_merge_coverage"].fn(spark, sf_dir))
+    shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
+    assert len(shuffles) == 1, _tree(p)
+
+
+def test_rolling_median_single_exchange(spark, sf_dir):
+    """Windowed median shuffles once on user_id; the 7-row frame is a
+    per-partition cursor."""
+    import re
+
+    p = plan(REGISTRY["rolling_median_window"].fn(spark, sf_dir))
+    shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
+    assert len(shuffles) == 1, _tree(p)
+
+
+def test_asof_forward_is_join_free(spark, sf_dir):
+    """The forward as-of join lowers to union-and-carry: a user_id
+    window pass, NO join operator of any kind."""
+    p = plan(REGISTRY["asof_join_forward"].fn(spark, sf_dir))
+    assert "Join" not in p
+    assert "windowspecdefinition(user_id" in p
+
+
+def test_contamination_report_broadcasts_eval_side(spark, sf_dir):
+    """The eval n-gram set and the hit list are eval-sized — both must
+    broadcast; the train side never shuffles on an n-gram key."""
+    p = plan(REGISTRY["contamination_rate_report"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dashboard_panel_sql_pushdown(spark, sf_dir):
+    """The literal panel SQL must get the same Catalyst treatment as
+    DataFrame code: the event_type filter reaches the parquet scan."""
+    p = plan(REGISTRY["sql_byte_rate_panel"].fn(spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "event_type" in p.split("PushedFilters")[1].splitlines()[0]
