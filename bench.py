@@ -51,6 +51,8 @@ HEADLINE = (
     "nem_ingest_conservation",
     "nem_compaction_roundtrip",
     "training_corpus_pipeline",
+    "simhash_near_dup_pairs",
+    "sql_latest_rownum_panel",
 )
 
 

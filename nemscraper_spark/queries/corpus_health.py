@@ -31,19 +31,39 @@ from nemscraper_spark.queries.training_data import (
     _LSH_MD5_CAND_SQL,
     lang_id_heuristic,
     lsh_candidate_sets_md5,
-    simhash_fingerprint,
 )
 
 # ------------------------------------------------------------------ dedup --
 
 
+_SIMHASH60_HEXVAL = (
+    "(ascii({c}) - CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END)"
+)
+
 @register(
     "simhash_near_dup_pairs",
     oracle=f"""
-    WITH sim AS ({REGISTRY["simhash_fingerprint"].oracle}),
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, (p - 1) * 4 + j AS bit,
+             CAST(SUM(CASE WHEN (({_SIMHASH60_HEXVAL.format(c="substr(md5(w), p, 1)")}) // POWER(2, j)::INT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS BIGINT) AS s
+      FROM words,
+           UNNEST(generate_series(1, 15)) AS tp(p),
+           UNNEST(generate_series(0, 3)) AS tj(j)
+      GROUP BY doc_id, bit
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
     b AS (
       SELECT doc_id, simhash, t.b AS band,
-             (simhash >> (8 * t.b)) & 255 AS chunk
+             (simhash >> (15 * t.b)) & 32767 AS chunk
       FROM sim, UNNEST(generate_series(0, 3)) AS t(b)
     ),
     pairs AS (
@@ -57,17 +77,49 @@ from nemscraper_spark.queries.training_data import (
     tags=("dedup", "simhash"),
 )
 def simhash_near_dup_pairs(spark, sf_dir):
-    """SimHash near-dup pairs at scale: 32-bit fingerprint → 4 bands of
-    8 bits → bucket-join on (band, chunk) → verify hamming ≤ 3 on the
-    full fingerprint. Pigeonhole: any pair within hamming 3 of each
-    other has ≥1 clean band, so the band join is RECALL-COMPLETE for
-    the ≤3 threshold — unlike MinHash banding this is exact, not
-    probabilistic. Linear in corpus size; candidates bounded by band
-    geometry; the verify is one codegen'd bit_count per candidate —
-    the same design Google used for web-scale near-dup detection
-    (Manku et al., WWW'07).
+    """SimHash near-dup pairs at scale: 60-bit fingerprint (15 md5 hex
+    digits × 4 vote bits; bit 63 avoided so neither engine hits signed
+    overflow) → 4 bands of 15 bits → bucket-join on (band, chunk) →
+    verify hamming ≤ 3 on the full fingerprint. Pigeonhole: any pair
+    within hamming 3 has ≥1 clean band, so the band join is
+    RECALL-COMPLETE for the ≤3 threshold — unlike MinHash banding this
+    is exact, not probabilistic. The 15-bit chunk space (32k values per
+    band) keeps bucket sizes ~n/32k — the Manku et al. (WWW'07) sizing;
+    the 32-bit fingerprint of `simhash_fingerprint` would put only 256
+    values per band and make candidates O(n²/256), a quadratic trap at
+    corpus scale. Candidate density on THIS synthetic corpus is still
+    high because the docs genuinely are similar (shared small
+    vocabulary) — cost the oracle pays identically. The verify is one
+    codegen'd bit_count per candidate.
     """
-    sim = simhash_fingerprint(spark, sf_dir)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    # hoist one md5 per word; 60 integer bit-tests over 15 hex digits
+    digit = (
+        "(ascii(substr(h, {p}, 1)) -"
+        " CASE WHEN ascii(substr(h, {p}, 1)) >= 97 THEN 87 ELSE 48 END)"
+    )
+    hashed = words.withColumn("h", F.md5("w")).select(
+        "doc_id",
+        *[F.expr(digit.format(p=p)).alias(f"d{p}") for p in range(1, 16)],
+    )
+
+    def bit_vote(k: int):
+        p, j = k // 4 + 1, k % 4
+        return F.sum(
+            F.when(F.expr(f"shiftright(d{p}, {j}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"s{k}")
+
+    votes = hashed.groupBy("doc_id").agg(*[bit_vote(k) for k in range(60)])
+    simhash = None
+    for k in range(60):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    sim = votes.select("doc_id", simhash.alias("simhash"))
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -76,7 +128,9 @@ def simhash_near_dup_pairs(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("chunk"),
+                        F.expr(f"shiftright(simhash, {15 * b}) & 32767").alias(
+                            "chunk"
+                        ),
                     )
                     for b in range(4)
                 ]
@@ -689,4 +743,44 @@ def asof_join_forward(spark, sf_dir):
         right_ts="fc_ts",
         value_cols=["fc_value"],
         direction="forward",
+    )
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH fp AS ({_WINNOW_FP_SQL}),
+    r AS (
+      SELECT d.doc_id, f.winnow_fp, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY f.winnow_fp
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY f.winnow_fp) AS BIGINT)
+               AS cluster_size
+      FROM documents d JOIN fp f USING (doc_id)
+    )
+    SELECT doc_id, n_chars, cluster_size FROM r WHERE rk = 1
+    """,
+    tags=("dedup", "corpus-health"),
+)
+def dedup_keep_longest(spark, sf_dir):
+    """Quality-policy survivor selection: within each winnow-fingerprint
+    near-dup cluster keep the LONGEST member (ties → min doc_id) — the
+    'keep the richest copy' policy real pipelines prefer over
+    dedup_keep_canonical's min-id rule (a boilerplate-stripped fragment
+    should lose to the full article it duplicates). One shuffle on the
+    fingerprint; both windows share it. The survivor's cluster_size is
+    kept so downstream mixture weighting can discount heavily-duplicated
+    content."""
+    fp = _winnow_fp(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = d.join(fp.select("doc_id", "winnow_fp"), "doc_id")
+    w = Window.partitionBy("winnow_fp").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("winnow_fp")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "n_chars", "cluster_size")
     )

@@ -371,3 +371,54 @@ def skew_salted_join(spark, sf_dir):
         on=["event_type"],
         n_salts=16,
     ).select("event_type", "event_id", "value", "type_weight")
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+    tags=("A1", "J6", "semi"),
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): HAVING-filtered aggregate as
+    an IN-subquery → left-semi join, then the 3-table join re-aggregates
+    only surviving orders. The semi-join prunes lineitem/orders BEFORE
+    the wide join — at scale the HAVING aggregate is a map-side partial
+    on l_orderkey and the survivor set is small enough for AQE to
+    broadcast into both probes. l_quantity is integer-valued, so the
+    double SUM is exact and the >180 gate cannot flip on accumulation
+    order (the DECIMAL trick is unnecessary here; pinned by the hash
+    gate)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

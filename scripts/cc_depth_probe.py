@@ -82,7 +82,9 @@ def main() -> None:
         else:
             sf_dir = tempfile.mkdtemp(prefix=f"cc_depth_{factor}x_")
             cleanup = sf_dir
-            replicate(spark, base, sf_dir, factor)
+            # only documents needs the full factor; the probe reads
+            # nothing else at scale
+            replicate(spark, base, sf_dir, factor, tables={"documents"})
         try:
             n_docs = spark.read.parquet(
                 os.path.join(sf_dir, "documents.parquet")

@@ -66,13 +66,20 @@ KEY_OFFSETS = {
 BOUNDED = ("region", "nation")
 
 
-def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+def replicate(
+    spark, src_dir: str, dst_dir: str, factor: int, tables=None
+) -> None:
+    """Replicate the testdata into dst_dir. ``tables`` (optional)
+    limits which tables get the full factor-x treatment — the rest are
+    copied at 1x so single-table probes (e.g. cc_depth_probe over
+    documents) don't pay a 100x lineitem rewrite."""
     from pyspark.sql import functions as F
 
     from nemscraper_spark.queries.common import TABLES, load_table
 
     os.makedirs(dst_dir, exist_ok=True)
     for t in TABLES:
+        t_factor = factor if (tables is None or t in tables) else 1
         if t == "events":
             # keep ts as the raw (nanos) long — load_table converts on
             # read, and writing the converted form would double-convert
@@ -89,7 +96,7 @@ def replicate(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             k: (df.agg(F.max(k)).collect()[0][0] or 0) + 1 for k in keys
         }
         reps = []
-        for k in range(factor):
+        for k in range(t_factor):
             r = df
             for col, step in steps.items():
                 r = r.withColumn(col, (F.col(col) + F.lit(k * step)).cast("long"))
