@@ -302,3 +302,105 @@ def streaming_interval_join(spark, sf_dir):
         joined, stage, "nemspark_streaming_interval_join", "append"
     )
     return out
+
+
+def _staged_flush_stream(spark, sf_dir):
+    """Staged (user_id, ts, value) stream with ONE far-future sentinel
+    event per user appended (value 0, year 2099). Under a bounded
+    AvailableNow drain with NoTimeout, a custom sessionizer only emits
+    a session when a LATER event arrives — the sentinel closes every
+    user's final real session, so the drain's output is the complete
+    batch session set. Shares the _STAGE_CACHE memoization; sentinel
+    rows are filtered back out of the result by their 2099 start."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    key = (id(spark), sf_dir, "events+flush")
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "src")):
+        sentinel = (
+            ev.select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.lit("2099-01-01 00:00:00")
+                .cast("timestamp_ntz")
+                .alias("ts"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+        stage = tempfile.mkdtemp(prefix="nemspark-stream-flush-")
+        ev.unionByName(sentinel).write.mode("overwrite").parquet(
+            os.path.join(stage, "src")
+        )
+        _STAGE_CACHE[key] = stage
+    schema = "user_id long, ts timestamp_ntz, value double"
+    stream = spark.readStream.schema(schema).parquet(os.path.join(stage, "src"))
+    return stream.withColumn("ts_w", F.col("ts").cast("timestamp")), stage
+
+
+@register(
+    "streaming_stateful_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dec_sum("value")} AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "W-session", "UDF-state"),
+)
+def streaming_stateful_sessionize(spark, sf_dir):
+    """The CUSTOM stateful operator behind the driver's hash gate: gap
+    sessionization via ``applyInPandasWithState``
+    (streaming/stateful.py) as a REAL streaming query — per-user open
+    session carried in typed state across micro-batches, closed
+    sessions emitted in Append mode. Where streaming_session_windows
+    uses Spark's built-in session_window, THIS is the §2.10 surface a
+    pipeline reaches for when the state machine isn't expressible as a
+    built-in (multi-metric sessions, abandonment rules, …).
+
+    Determinism: per-user events process in timestamp order (kernel
+    sorts each batch; the AvailableNow drain is one batch); session
+    sums accumulate in 4-dp DECIMAL (exact_decimal_sums — the engine's
+    dec_sum convention), so the output is bit-identical to the batch
+    islands aggregation at any parallelism. A per-user far-future
+    sentinel closes each final session (NoTimeout drain semantics) and
+    is filtered from the result. Gap break is EXCLUSIVE (> 30 min),
+    matching the kernel's `t - end <= gap_us` extension rule at µs
+    precision. At scale: state is one open session per active user in
+    the state store (RocksDB on a cluster), shuffled once on user_id —
+    the same partitioning as the batch twin, but incremental.
+    """
+    from nemscraper_spark.streaming.stateful import sessionize_stream
+
+    stream, stage = _staged_flush_stream(spark, sf_dir)
+    sessions = sessionize_stream(
+        stream.select("user_id", F.col("ts_w").alias("ts"), "value"),
+        gap_seconds=1800,
+        idle_flush_ms=None,
+        exact_decimal_sums=True,
+    )
+    out = _run_to_memory(
+        sessions, stage, "nemspark_streaming_stateful_sessionize", "append"
+    )
+    return out.filter(
+        F.col("session_start") < F.lit("2090-01-01").cast("timestamp")
+    ).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

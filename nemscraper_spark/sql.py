@@ -51,7 +51,12 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     again whenever sf_dir changes so the unsuffixed names always point
     at the sf_dir of the MOST RECENT call — see note above), run the
     SQL."""
-    if _REGISTERED.get(id(spark)) != sf_dir:
+    # the tableExists probe guards against id() reuse after a session
+    # is garbage-collected: a stale memo hit on a FRESH session would
+    # otherwise skip registration and fail with "table not found"
+    if _REGISTERED.get(id(spark)) != sf_dir or not spark.catalog.tableExists(
+        TABLES[0]
+    ):
         register_views(spark, sf_dir)
         _REGISTERED[id(spark)] = sf_dir
     return spark.sql(query)

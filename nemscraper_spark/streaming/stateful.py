@@ -33,6 +33,7 @@ def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
     idle_flush_ms: int | None = 30000,
+    exact_decimal_sums: bool = False,
 ) -> DataFrame:
     """events: streaming DataFrame with (user_id long, ts timestamp,
     value double). Returns a streaming DataFrame of CLOSED sessions.
@@ -40,7 +41,14 @@ def sessionize_stream(
     ``idle_flush_ms=None`` disables the processing-time timeout (open
     sessions then close only when a later event arrives) — use for
     drain-style availableNow runs, where a timeout-only micro-batch
-    would otherwise fire at the end of every drain."""
+    would otherwise fire at the end of every drain.
+
+    ``exact_decimal_sums=True`` accumulates each session's sum in
+    4-dp DECIMAL (the engine-wide dec_sum convention,
+    queries/common.py) instead of float — order-independent and
+    bit-identical to ``CAST(SUM(CAST(v AS DECIMAL(25,4))) AS DOUBLE)``
+    in either engine, which is what lets the streaming operator sit
+    behind the driver's cross-engine hash gate."""
 
     gap_us = gap_seconds * 1_000_000
 
@@ -49,6 +57,16 @@ def sessionize_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q4 = Decimal("1e-4")
+
+        def dec(x):
+            # shortest-repr round trip: a 4dp decimal stored as double
+            # reprs back to its exact decimal string, so state survives
+            # the double-typed state schema without drift
+            return Decimal(repr(float(x))).quantize(q4, ROUND_HALF_UP)
+
         (user_id,) = key
         closed: list[tuple[int, int, int, float]] = []
 
@@ -56,10 +74,17 @@ def sessionize_stream(
             start, end, n, s = state.get
         else:
             start, end, n, s = None, None, 0, 0.0
+        if exact_decimal_sums and s is not None:
+            s = dec(s)
+
+        def add(a, v):
+            if exact_decimal_sums:
+                return a + dec(v)
+            return a + float(v)
 
         if state.hasTimedOut:
             if start is not None:
-                closed.append((start, end, n, s))
+                closed.append((start, end, n, float(s)))
             state.remove()
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
@@ -69,13 +94,15 @@ def sessionize_stream(
             for t, v in zip(ts_us, vals):
                 t = int(t)
                 if start is None:
-                    start, end, n, s = t, t, 1, float(v)
+                    start, end, n = t, t, 1
+                    s = dec(v) if exact_decimal_sums else float(v)
                 elif t - end <= gap_us:
-                    end, n, s = max(end, t), n + 1, s + float(v)
+                    end, n, s = max(end, t), n + 1, add(s, v)
                 else:
-                    closed.append((start, end, n, s))
-                    start, end, n, s = t, t, 1, float(v)
-            state.update((start, end, n, s))
+                    closed.append((start, end, n, float(s)))
+                    start, end, n = t, t, 1
+                    s = dec(v) if exact_decimal_sums else float(v)
+            state.update((start, end, n, float(s)))
             if idle_flush_ms is not None:
                 state.setTimeoutDuration(idle_flush_ms)
 
