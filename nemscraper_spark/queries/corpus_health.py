@@ -784,3 +784,93 @@ def dedup_keep_longest(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("doc_id", "n_chars", "cluster_size")
     )
+
+
+@register(
+    "bpe_top_merge_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM words, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT pair, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+      FROM c
+    ) WHERE rk <= 20
+    """,
+    tags=("text", "tokenizer"),
+)
+def bpe_top_merge_pairs(spark, sf_dir):
+    """The first iteration of BPE tokenizer training: count every
+    adjacent symbol pair inside words across the corpus and rank the
+    merge candidates (Sennrich et al., ACL'16 — the highest-count pair
+    becomes the first merge rule). Explode is linear in corpus bytes;
+    the count aggregates map-side on a key bounded by the symbol-pair
+    alphabet, and the top-20 is a TakeOrdered over that tiny aggregate
+    — at 100 TB this is one scan + one bounded shuffle, the exact shape
+    production BPE trainers (which iterate this step) distribute."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    c = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    # top-20 via TakeOrderedAndProject (per-partition heap + driver
+    # merge — same pattern as vocab_top_tokens); the rank window runs
+    # only over the 20 survivors
+    top = c.orderBy(F.col("n").desc(), "pair").limit(20)
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return top.withColumn("rk", F.row_number().over(w)).select("pair", "n", "rk")
+
+
+@register(
+    "token_budget_cut_per_source",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, cum_chars
+    FROM scored WHERE cum_chars <= 2000
+    """,
+    tags=("mixture", "sampling"),
+)
+def token_budget_cut_per_source(spark, sf_dir):
+    """Per-source corpus budgeting: rank each source's docs by a
+    quality proxy (length here; production plugs in any score) and keep
+    docs until the source's running token budget is exhausted — how a
+    mixture spec like 'at most N tokens per domain' is actually
+    materialized. One shuffle on source; the running sum is a
+    per-partition cursor and the budget gate is a row-local filter, so
+    at 100 TB this costs exactly one window pass. Deterministic
+    tie-break (doc_id) makes the cut reproducible run to run."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select(
+            "doc_id", "source", "n_chars",
+            F.sum("n_chars").over(w).alias("cum_chars"),
+        )
+        .filter(F.col("cum_chars") <= 2000)
+    )
