@@ -76,7 +76,25 @@ def _staged_stream(spark, sf_dir, name="events"):
     return stream, stage
 
 
-def _run_to_memory(result_stream, stage, query_name, output_mode):
+def _state_width(spark, sf_dir, rows_per_partition: int = 25_000) -> int:
+    """State-store width for a bounded streaming run, sized by INPUT
+    VOLUME (parquet footer row count — metadata-only, no scan), capped
+    at core count. Stateful operators fix their state-store count to
+    spark.sql.shuffle.partitions at query start (no AQE in streaming),
+    and every state partition pays per-micro-batch maintenance whether
+    or not it holds data: a 100k-row drain on 32 state partitions
+    measured 2.5x slower than on 4. A real deployment does the same
+    sizing once per stream from its expected per-batch volume; at
+    production volume this formula saturates to full parallelism."""
+    from nemscraper_spark.sources.inspect import footer_row_count
+
+    rows = footer_row_count(os.path.join(sf_dir, "events.parquet"))
+    return max(2, min(
+        spark.sparkContext.defaultParallelism, rows // rows_per_partition
+    ))
+
+
+def _run_to_memory(result_stream, stage, query_name, output_mode, width=None):
     """Run the stream to completion under Trigger.AvailableNow into a
     memory sink; return the sink table as a DataFrame.  The checkpoint
     is private to this run and removed afterwards; the staged source
@@ -87,12 +105,14 @@ def _run_to_memory(result_stream, stage, query_name, output_mode):
     # spark.sql.shuffle.partitions AT QUERY START (no AQE coalescing in
     # streaming) — a foreign session's default of 200 means 200 state
     # tasks per micro-batch regardless of data size.  Pin a width
-    # matched to the cores for this bounded run and restore the
-    # caller's setting immediately after start; a real deployment sizes
-    # this once per stream at creation, same as here.
+    # sized to the run (see _state_width) and restore the caller's
+    # setting immediately after start; a real deployment sizes this
+    # once per stream at creation, same as here.
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, None)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    spark.conf.set(
+        key, str(width or spark.sparkContext.defaultParallelism)
+    )
     try:
         q = (
             result_stream.writeStream.outputMode(output_mode)
@@ -145,7 +165,10 @@ def streaming_window_counts(spark, sf_dir):
             dec_sum("value").alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg, stage, "nemspark_streaming_window_counts", "complete")
+    out = _run_to_memory(
+        agg, stage, "nemspark_streaming_window_counts", "complete",
+        width=_state_width(spark, sf_dir),
+    )
     return out.select(
         F.col("w.start").cast("timestamp_ntz").alias("day_start"),
         "event_type",
@@ -177,7 +200,10 @@ def streaming_dedup_replay(spark, sf_dir):
     deduped = redelivered.withWatermark("ts_w", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    out = _run_to_memory(deduped, stage, "nemspark_streaming_dedup_replay", "append")
+    out = _run_to_memory(
+        deduped, stage, "nemspark_streaming_dedup_replay", "append",
+        width=_state_width(spark, sf_dir),
+    )
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
@@ -238,7 +264,8 @@ def streaming_session_windows(spark, sf_dir):
         )
     )
     out = _run_to_memory(
-        agg, stage, "nemspark_streaming_session_windows", "complete"
+        agg, stage, "nemspark_streaming_session_windows", "complete",
+        width=_state_width(spark, sf_dir),
     )
     return out.select(
         F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
@@ -299,7 +326,8 @@ def streaming_interval_join(spark, sf_dir):
         "inner",
     ).select("event_id", "user_id", "ts", "fc_ts", "fc_value")
     out = _run_to_memory(
-        joined, stage, "nemspark_streaming_interval_join", "append"
+        joined, stage, "nemspark_streaming_interval_join", "append",
+        width=_state_width(spark, sf_dir),
     )
     return out
 
@@ -393,7 +421,8 @@ def streaming_stateful_sessionize(spark, sf_dir):
         exact_decimal_sums=True,
     )
     out = _run_to_memory(
-        sessions, stage, "nemspark_streaming_stateful_sessionize", "append"
+        sessions, stage, "nemspark_streaming_stateful_sessionize", "append",
+        width=_state_width(spark, sf_dir),
     )
     return out.filter(
         F.col("session_start") < F.lit("2090-01-01").cast("timestamp")

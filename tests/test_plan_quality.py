@@ -445,3 +445,20 @@ def test_dashboard_panel_sql_pushdown(spark, sf_dir):
     p = plan(REGISTRY["sql_byte_rate_panel"].fn(spark, sf_dir))
     assert "PushedFilters" in p
     assert "event_type" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_bpe_pairs_topk_avoids_global_sort(spark, sf_dir):
+    """The merge-candidate cut must be TakeOrderedAndProject over the
+    bounded pair aggregate — never a full sort of the pair table."""
+    p = plan(REGISTRY["bpe_top_merge_pairs"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_token_budget_cut_single_exchange(spark, sf_dir):
+    """The budget cut is one window pass: a single source shuffle, and
+    the budget gate must not add any further exchange."""
+    import re
+
+    p = plan(REGISTRY["token_budget_cut_per_source"].fn(spark, sf_dir))
+    shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
+    assert len(shuffles) == 1, _tree(p)
