@@ -88,17 +88,37 @@ _DRIVER_GREEN = frozenset(
 _PRIORITY_FIRST = ("nem_ingest_conservation", "nem_compaction_roundtrip")
 
 
+def _green_names() -> frozenset[str]:
+    """The hardcoded green set, unioned with every hash-green row found
+    in CORRECTNESS_r*.json on disk — so when the driver writes this
+    round's results, the NEXT round's ordering adapts without an edit
+    (new greens move to the back, remaining stragglers queue first)."""
+    import glob
+    import json
+
+    green = set(_DRIVER_GREEN)
+    for path in glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(Path(path).read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                green.add(name)
+    return frozenset(green)
+
+
 def _driver_order() -> list[str]:
+    green = _green_names()
     rest = [
-        n
-        for n in REGISTRY
-        if n not in _DRIVER_GREEN and n not in _PRIORITY_FIRST
+        n for n in REGISTRY if n not in green and n not in _PRIORITY_FIRST
     ]
     # Oracle-bearing unchecked queries first (hash gate = full signal),
     # rows-only entries after them, registry order within each class.
     oracle_first = sorted(rest, key=lambda n: (REGISTRY[n].oracle is None,))
-    checked = [n for n in REGISTRY if n in _DRIVER_GREEN]
-    return [*_PRIORITY_FIRST, *oracle_first, *checked]
+    checked = [n for n in REGISTRY if n in green]
+    pri = [n for n in _PRIORITY_FIRST if n not in green]
+    return [*pri, *oracle_first, *checked, *[n for n in _PRIORITY_FIRST if n in green]]
 
 
 def entry(spark: SparkSession) -> DataFrame:
