@@ -108,14 +108,24 @@ def _green_names() -> frozenset[str]:
     return frozenset(green)
 
 
+# Queries added AFTER the round-3 driver window was already full: they
+# sort behind even the rows-only unchecked set so they don't displace
+# any query that has been waiting longer for its CORRECTNESS row.
+_LATE_ADDITIONS = ("hopping_window_counts", "events_heatmap_panel")
+
+
 def _driver_order() -> list[str]:
     green = _green_names()
     rest = [
         n for n in REGISTRY if n not in green and n not in _PRIORITY_FIRST
     ]
     # Oracle-bearing unchecked queries first (hash gate = full signal),
-    # rows-only entries after them, registry order within each class.
-    oracle_first = sorted(rest, key=lambda n: (REGISTRY[n].oracle is None,))
+    # rows-only entries after them, late additions last among the
+    # unchecked; registry order within each class.
+    oracle_first = sorted(
+        rest,
+        key=lambda n: (n in _LATE_ADDITIONS, REGISTRY[n].oracle is None),
+    )
     checked = [n for n in REGISTRY if n in green]
     pri = [n for n in _PRIORITY_FIRST if n not in green]
     return [*pri, *oracle_first, *checked, *[n for n in _PRIORITY_FIRST if n in green]]

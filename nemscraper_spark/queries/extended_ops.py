@@ -422,3 +422,71 @@ def q18_large_volume_customer(spark, sf_dir):
             "sum_qty",
         )
     )
+
+
+@register(
+    "hopping_window_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT value,
+             make_timestamp((epoch_us(ts) // 1800000000 - t.k) * 1800000000)
+               AS window_start
+      FROM events, UNNEST(generate_series(0, 1)) AS t(k)
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dec_sum("value")} AS sum_value
+    FROM w GROUP BY window_start
+    """,
+    tags=("W3", "A8"),
+)
+def hopping_window_counts(spark, sf_dir):
+    """Hopping (sliding) time windows: 1-hour windows every 30 minutes,
+    so each event lands in exactly two overlapping windows —
+    `F.window(ts, '1 hour', '30 minutes')`, the built-in operator the
+    tumbling queries don't exercise. Spark expands the window
+    assignment in the scan projection (slide divides length → exactly
+    length/slide rows per event, no join); the aggregate is a plain
+    map-side-partial groupBy on the window start. The oracle replays
+    the assignment arithmetically: starts are the two 30-min-aligned
+    epochs at or before each event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+            .alias("w"),
+            "value",
+        )
+        .groupBy(F.col("w.start").cast("timestamp_ntz").alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_heatmap_panel",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dec_sum("value")} AS sum_value
+    FROM events GROUP BY dayofweek(ts), hour(ts)
+    """,
+    tags=("A8", "D-SQL"),
+)
+def events_heatmap_panel(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the classic Grafana
+    heatmap panel feeding a weekly-seasonality view. One
+    bounded-cardinality (7×24) map-side-partial aggregation over pure
+    codegen date-part projections. Dialect note: Spark's dayofweek is
+    1-based (Sunday=1), DuckDB's 0-based (Sunday=0) — the Spark side
+    subtracts 1 so both emit 0..6."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
