@@ -111,7 +111,12 @@ def _green_names() -> frozenset[str]:
 # Queries added AFTER the round-3 driver window was already full: they
 # sort behind even the rows-only unchecked set so they don't displace
 # any query that has been waiting longer for its CORRECTNESS row.
-_LATE_ADDITIONS = ("hopping_window_counts", "events_heatmap_panel")
+_LATE_ADDITIONS = (
+    "hopping_window_counts",
+    "events_heatmap_panel",
+    "retention_cohorts",
+    "attribution_last_touch",
+)
 
 
 def _driver_order() -> list[str]:

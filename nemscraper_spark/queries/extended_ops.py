@@ -490,3 +490,109 @@ def events_heatmap_panel(spark, sf_dir):
         F.count("*").alias("n"),
         dec_sum("value").alias("sum_value"),
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(MIN(ts)) // 604800000000)
+                            * 604800000000) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             make_timestamp((epoch_us(ts) // 604800000000)
+                            * 604800000000) AS act_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((epoch_us(a.act_week) - epoch_us(f.cohort_week))
+                // 604800000000 AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+    tags=("A8", "cohort"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by first-seen week, counted per (cohort_week, weeks-since)
+    cell. first_seen is one groupBy(user_id) min-agg; activity is a
+    map-side-partial distinct on (user_id, week); the join is keyed by
+    user_id (both sides already user-partitioned from their
+    aggregations, so AQE reuses the shuffle; first_seen is
+    user-cardinality and broadcastable when small). Week buckets are
+    epoch-aligned 7-day floors, identical arithmetic in both engines."""
+    wk = 604_800_000_000  # 7 days in µs
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.timestamp_micros(  # noqa: E731
+        (F.unix_micros(F.col(c).cast("timestamp")) / wk).cast("long") * wk
+    ).cast("timestamp_ntz")
+    # MIN over raw ts first, then bucket — matches the oracle's
+    # make_timestamp(floor(epoch_us(MIN(ts))))
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    first_seen = first_seen.select(
+        "user_id", week("first_ts").alias("cohort_week")
+    )
+    activity = ev.select("user_id", week("ts").alias("act_week")).distinct()
+    off = (
+        (
+            F.unix_micros(F.col("act_week").cast("timestamp"))
+            - F.unix_micros(F.col("cohort_week").cast("timestamp"))
+        )
+        / wk
+    ).cast("int")
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", off.alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, value AS click_value FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_ts, c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    tags=("J-asof", "attribution"),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the latest
+    preceding click by the same user — the marketing-analytics join
+    every event pipeline ships, expressed with the as-of operator
+    (operators/asof.py union-and-carry: one user_id shuffle, no range
+    BNLJ). Both side filters push to the scan; DuckDB's native ASOF
+    JOIN is the oracle."""
+    from nemscraper_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts", "click_value"],
+    )
