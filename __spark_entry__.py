@@ -116,6 +116,7 @@ _LATE_ADDITIONS = (
     "events_heatmap_panel",
     "retention_cohorts",
     "attribution_last_touch",
+    "conversion_latency",
 )
 
 

@@ -596,3 +596,56 @@ def attribution_last_touch(spark, sf_dir):
         right_ts="click_ts",
         value_cols=["click_ts", "click_value"],
     )
+
+
+@register(
+    "conversion_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           CAST(CASE WHEN p.user_id IS NULL THEN NULL
+                ELSE epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)
+           END AS BIGINT) AS latency_us
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    tags=("funnel", "A8"),
+)
+def conversion_latency(spark, sf_dir):
+    """Conversion latency: per user, time from first signup to first
+    subsequent purchase (NULL = never converted) — the funnel-timing
+    report behind activation dashboards. Two conditional min-aggs on
+    user_id plus one user-keyed left join; every stage reuses the same
+    hash partitioning, and the exact-integer µs difference keeps the
+    hash gate trivial. The purchase min is constrained to AT/after the
+    signup so pre-signup purchases (possible in replayed or merged
+    histories) can't produce negative latencies."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lat = (
+        F.unix_micros(F.col("first_purchase_ts").cast("timestamp"))
+        - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+    ).cast("long")
+    return (
+        s.join(p, "user_id", "left")
+        .select("user_id", "signup_ts", "first_purchase_ts", lat.alias("latency_us"))
+    )
