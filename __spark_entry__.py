@@ -132,9 +132,12 @@ def _driver_order() -> list[str]:
         rest,
         key=lambda n: (n in _LATE_ADDITIONS, REGISTRY[n].oracle is None),
     )
-    checked = [n for n in REGISTRY if n in green]
+    checked = [
+        n for n in REGISTRY if n in green and n not in _PRIORITY_FIRST
+    ]
     pri = [n for n in _PRIORITY_FIRST if n not in green]
-    return [*pri, *oracle_first, *checked, *[n for n in _PRIORITY_FIRST if n in green]]
+    pri_green = [n for n in _PRIORITY_FIRST if n in green]
+    return [*pri, *oracle_first, *checked, *pri_green]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -18,7 +18,10 @@ reports the per-query MEDIAN, so a single CPU-steal burst (BASELINE.md
 documents ~60 s near-total steal windows on this box) cannot turn a
 0.3 s projection into a 42 s outlier. Repeats stop early if the suite
 exceeds $SPARK_GRAFT_BENCH_BUDGET_SEC (default 360) so the harness
-never times out; completed repeats still yield medians.
+never times out — but never before TWO repeats exist (round 3's 419 s
+artifact was one steal-poisoned repeat recorded as the suite), queries
+whose two samples disagree >5x get a tie-breaking third sample, and the
+JSON carries the /proc/stat steal delta so a noisy run self-identifies.
 
 Each query is forced through the `noop` sink so the whole physical plan
 executes (a bare .count() would let Catalyst prune the projections we
@@ -123,6 +126,20 @@ def _warm(spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _steal_sec() -> float | None:
+    """Aggregate CPU-steal seconds from /proc/stat (field 8 of the
+    'cpu' summary line).  Sampled before/after the suite so a poisoned
+    run is self-describing: round 3's recorded 419 s (real: 135 s) ran
+    inside one of the sustained near-total steal windows BASELINE.md
+    documents, and nothing in the JSON said so."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -139,21 +156,51 @@ def main() -> None:
     spark = get_spark(app_name="nemscraper_spark_bench")
     warm_sec = 0.0 if cold else _warm(spark, sf_dir)
 
+    def _time_query(spec) -> float:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    steal0 = _steal_sec()
     runs: list[dict[str, float]] = []
     t_start = time.perf_counter()
-    for _ in range(max(1, repeats)):
+    for _ in range(max(2, repeats)):
         timings: dict[str, float] = {}
         for name, spec in sorted(REGISTRY.items()):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = _time_query(spec)
         runs.append(timings)
-        if time.perf_counter() - t_start > budget:
+        # Never honor the budget before 2 repeats exist: round 3's
+        # 419 s artifact happened exactly because a steal window pushed
+        # repeat 1 past budget, collapsing the median machinery onto
+        # the one poisoned sample.
+        if len(runs) >= 2 and time.perf_counter() - t_start > budget:
             break
 
+    # Outlier resolution when the budget cut us to 2 samples: a >5x
+    # spread between the two can't be adjudicated by their mean (the
+    # median of 2), so re-time just those queries once more and let a
+    # true 3-sample median pick the stable pair.
+    if len(runs) == 2:
+        retimed: dict[str, float] = {}
+        for name in runs[0]:
+            a, b = runs[0][name], runs[1][name]
+            if max(a, b) > 5 * max(min(a, b), 0.05):
+                retimed[name] = _time_query(REGISTRY[name])
+        if retimed:
+            runs.append(retimed)  # sparse: only the disputed queries
+
+    steal1 = _steal_sec()
+    steal_delta = (
+        round(steal1 - steal0, 1)
+        if steal0 is not None and steal1 is not None
+        else None
+    )
+
     medians = {
-        name: round(statistics.median(r[name] for r in runs), 3)
+        name: round(
+            statistics.median(r[name] for r in runs if name in r), 3
+        )
         for name in runs[0]
     }
     total = round(sum(medians.values()), 3)
@@ -172,6 +219,7 @@ def main() -> None:
         "repeats": len(runs),
         "warmed": not cold,
         "warm_sec": warm_sec,
+        "steal_sec": steal_delta,
         "queries": medians,
         "runs": runs,
     }
@@ -186,6 +234,7 @@ def main() -> None:
         "repeats": len(runs),
         "warmed": not cold,
         "warm_sec": warm_sec,
+        "steal_sec": steal_delta,
         "queries": {k: medians[k] for k in HEADLINE if k in medians},
         "queries_all_file": "bench_full.json",
     }

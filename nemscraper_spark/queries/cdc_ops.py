@@ -362,11 +362,17 @@ def ranking_functions(spark, sf_dir):
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    WITH pavg AS (
+    WITH pkeys AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+    ),
+    pavg AS (
       SELECT l_partkey,
              0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
                     / COUNT(l_quantity)) AS qty_threshold
-      FROM lineitem GROUP BY l_partkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM pkeys)
+      GROUP BY l_partkey
     )
     SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
              / 7.0 AS avg_yearly
@@ -395,7 +401,13 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY"))
         .select("p_partkey")
     )
-    pavg = li.groupBy("l_partkey").agg(
+    # Semi-join the fact to the ~0.1% of part keys that survive the
+    # brand/type filter BEFORE the threshold aggregate: at 100 TB the
+    # unrestricted groupBy would shuffle the full fact width to build
+    # thresholds that are ~99.9% discarded. The probed keys are a
+    # subset, so the kept thresholds are value-identical.
+    pavg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    pavg = pavg.groupBy("l_partkey").agg(
         (
             F.lit(0.2)
             * (

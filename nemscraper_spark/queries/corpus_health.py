@@ -841,10 +841,10 @@ def bpe_top_merge_pairs(spark, sf_dir):
     oracle="""
     WITH scored AS (
       SELECT doc_id, source, n_chars,
-             SUM(n_chars) OVER (PARTITION BY source
+             CAST(SUM(n_chars) OVER (PARTITION BY source
                  ORDER BY n_chars DESC, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_chars
+               AS BIGINT) AS cum_chars
       FROM documents
     )
     SELECT doc_id, source, n_chars, cum_chars

@@ -41,7 +41,12 @@ _D_ROWS = {"FPP---UNIT_MW---1": 3, "FPP---REGION_FREQ_MEASURE---1": 2}
 # can independently recount the D-lines from the raw bytes: the oracle
 # asserts parquet_rows == its own D-line count, so any row dropped or
 # duplicated by the Spark ingest breaks the hash gate.
-_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "nemspark_fixture")
+# Repo-anchored (not TMPDIR) so Spark and a DuckDB oracle evaluated in
+# any other process/container resolve the identical path; gitignored.
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fixtures",
+)
 _FIXTURE_CSV = os.path.join(_FIXTURE_DIR, "nem_fixture.csv")
 
 
@@ -51,8 +56,17 @@ def _stage_fixture() -> str:
     if not (
         os.path.exists(_FIXTURE_CSV) and os.path.getsize(_FIXTURE_CSV) == len(data)
     ):
-        with open(_FIXTURE_CSV, "wb") as f:
-            f.write(data)
+        # Atomic publish: a concurrent reader (the DuckDB oracle in
+        # another process) must never observe a partially written file.
+        fd, tmp = tempfile.mkstemp(dir=_FIXTURE_DIR, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.replace(tmp, _FIXTURE_CSV)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     return _FIXTURE_CSV
 
 

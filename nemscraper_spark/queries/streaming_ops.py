@@ -94,7 +94,7 @@ def _state_width(spark, sf_dir, rows_per_partition: int = 25_000) -> int:
     ))
 
 
-def _run_to_memory(result_stream, stage, query_name, output_mode, width=None):
+def _run_to_memory(result_stream, query_name, output_mode, width=None):
     """Run the stream to completion under Trigger.AvailableNow into a
     memory sink; return the sink table as a DataFrame.  The checkpoint
     is private to this run and removed afterwards; the staged source
@@ -156,7 +156,7 @@ def streaming_window_counts(spark, sf_dir):
     order-independent).  Epoch-aligned 1-day windows coincide with
     date_trunc('day') in the oracle.
     """
-    stream, stage = _staged_stream(spark, sf_dir)
+    stream, _stage = _staged_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts_w", "1 hour")
         .groupBy(F.window("ts_w", "1 day").alias("w"), "event_type")
@@ -166,7 +166,7 @@ def streaming_window_counts(spark, sf_dir):
         )
     )
     out = _run_to_memory(
-        agg, stage, "nemspark_streaming_window_counts", "complete",
+        agg, "nemspark_streaming_window_counts", "complete",
         width=_state_width(spark, sf_dir),
     )
     return out.select(
@@ -195,13 +195,13 @@ def streaming_dedup_replay(spark, sf_dir):
     the property that holds at 100 TB/day.  Oracle: SELECT * FROM
     events — redelivery must be invisible.
     """
-    stream, stage = _staged_stream(spark, sf_dir)
+    stream, _stage = _staged_stream(spark, sf_dir)
     redelivered = stream.union(stream)
     deduped = redelivered.withWatermark("ts_w", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     out = _run_to_memory(
-        deduped, stage, "nemspark_streaming_dedup_replay", "append",
+        deduped, "nemspark_streaming_dedup_replay", "append",
         width=_state_width(spark, sf_dir),
     )
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -251,7 +251,7 @@ def streaming_session_windows(spark, sf_dir):
     watermark horizon), the property that lets sessionization run
     continuously over a 100 TB/day stream.
     """
-    stream, stage = _staged_stream(spark, sf_dir)
+    stream, _stage = _staged_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts_w", "1 hour")
         .groupBy(
@@ -264,7 +264,7 @@ def streaming_session_windows(spark, sf_dir):
         )
     )
     out = _run_to_memory(
-        agg, stage, "nemspark_streaming_session_windows", "complete",
+        agg, "nemspark_streaming_session_windows", "complete",
         width=_state_width(spark, sf_dir),
     )
     return out.select(
@@ -304,7 +304,7 @@ def streaming_interval_join(spark, sf_dir):
     1-hour horizon of both sides — the property that holds at
     100 TB/day.
     """
-    stream, stage = _staged_stream(spark, sf_dir)
+    stream, _stage = _staged_stream(spark, sf_dir)
     left = stream.select(
         "event_id", "user_id", "ts", F.col("ts_w").alias("e_ts")
     ).withWatermark("e_ts", "1 hour")
@@ -326,7 +326,7 @@ def streaming_interval_join(spark, sf_dir):
         "inner",
     ).select("event_id", "user_id", "ts", "fc_ts", "fc_value")
     out = _run_to_memory(
-        joined, stage, "nemspark_streaming_interval_join", "append",
+        joined, "nemspark_streaming_interval_join", "append",
         width=_state_width(spark, sf_dir),
     )
     return out
@@ -413,7 +413,7 @@ def streaming_stateful_sessionize(spark, sf_dir):
     """
     from nemscraper_spark.streaming.stateful import sessionize_stream
 
-    stream, stage = _staged_flush_stream(spark, sf_dir)
+    stream, _stage = _staged_flush_stream(spark, sf_dir)
     sessions = sessionize_stream(
         stream.select("user_id", F.col("ts_w").alias("ts"), "value"),
         gap_seconds=1800,
@@ -421,7 +421,7 @@ def streaming_stateful_sessionize(spark, sf_dir):
         exact_decimal_sums=True,
     )
     out = _run_to_memory(
-        sessions, stage, "nemspark_streaming_stateful_sessionize", "append",
+        sessions, "nemspark_streaming_stateful_sessionize", "append",
         width=_state_width(spark, sf_dir),
     )
     return out.filter(

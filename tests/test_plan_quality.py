@@ -462,3 +462,14 @@ def test_token_budget_cut_single_exchange(spark, sf_dir):
     p = plan(REGISTRY["token_budget_cut_per_source"].fn(spark, sf_dir))
     shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
     assert len(shuffles) == 1, _tree(p)
+
+
+def test_q17_threshold_build_is_pruned(spark, sf_dir):
+    """The per-part quantity-threshold aggregate must consume only the
+    fact rows whose partkey survives the Brand#13/ECONOMY filter: the
+    plan needs a left-semi broadcast join UPSTREAM of the partial
+    aggregate, so at 100 TB the threshold build shuffles ~0.1% of
+    lineitem instead of all of it."""
+    p = plan(REGISTRY["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
