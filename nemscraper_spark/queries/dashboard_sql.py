@@ -128,3 +128,65 @@ def sql_file_counts_panel(spark, sf_dir):
     """files.json:703's per-bucket file-count panel verbatim: day
     buckets × two states, union-stacked counts."""
     return run_sql(spark, sf_dir, _FILE_COUNTS_SQL)
+
+
+# fpp.json:1010/1068 — the "Performance Sums" panels: 5-minute bucket
+# sums of the lower/raise performance components, bucket stamped at its
+# END (the reference text adds the bucket width back on).  DuckDB's
+# time_bucket() doesn't exist in Spark SQL, so the shared text builds
+# the bucket from day-trunc + minute-of-day arithmetic — parseable and
+# value-identical in both engines (the CAST on the multiplier is what
+# keeps DuckDB's INTERVAL * BIGINT overload and Spark's interval math
+# on the same exact integer).  Lower/raise split mirrors the FPP
+# decomposition: negative deviations feed p_lower, positive p_raise.
+_BUCKET_SUMS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+         + INTERVAL '5' MINUTE * CAST(FLOOR((EXTRACT(HOUR FROM ts) * 60
+             + EXTRACT(MINUTE FROM ts)) / 5) AS BIGINT)
+         + INTERVAL '5' MINUTE AS five_minute_interval,
+       CAST(SUM(CAST(CASE WHEN value < 0 THEN value ELSE 0 END
+                     AS DECIMAL(25,4))) AS DOUBLE) AS p_lower_5m_sum,
+       CAST(SUM(CAST(CASE WHEN value >= 0 THEN value ELSE 0 END
+                     AS DECIMAL(25,4))) AS DOUBLE) AS p_raise_5m_sum
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+# fpp.json:722-1068 — the actual-vs-hypothetical comparison the
+# "Performance Actual" row renders: the same aggregate computed over
+# the actual and the hypothetical trajectory, joined on the bucket,
+# with the delta the analyst actually reads.
+_ACTUAL_VS_HYP_SQL = """
+WITH actual AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS t,
+         CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS perf
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+hypothetical AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS t,
+         CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS perf
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT a.t AS time, a.perf AS actual_perf, h.perf AS hypothetical_perf,
+       a.perf - h.perf AS delta
+FROM actual a JOIN hypothetical h ON h.t = a.t
+"""
+
+
+@register("sql_bucket_sums_panel", oracle=_BUCKET_SUMS_SQL, tags=("D-SQL", "A8"))
+def sql_bucket_sums_panel(spark, sf_dir):
+    """fpp.json:1010's 5-minute performance-sum panel verbatim:
+    end-stamped 5-min buckets, DECIMAL-exact lower/raise sums.  One
+    map-side partial agg + one bounded shuffle on the bucket key; the
+    state filter pushes to the parquet scan."""
+    return run_sql(spark, sf_dir, _BUCKET_SUMS_SQL)
+
+
+@register("sql_actual_vs_hyp_panel", oracle=_ACTUAL_VS_HYP_SQL, tags=("D-SQL", "A8"))
+def sql_actual_vs_hyp_panel(spark, sf_dir):
+    """fpp.json:722-1068's actual-vs-hypothetical comparison verbatim:
+    two bucketed DECIMAL aggregates joined on the bucket with the
+    delta column.  Both branches scan with pushed state filters; the
+    join keys are the low-cardinality buckets, broadcast under AQE."""
+    return run_sql(spark, sf_dir, _ACTUAL_VS_HYP_SQL)

@@ -473,3 +473,51 @@ def test_q17_threshold_build_is_pruned(spark, sf_dir):
     p = plan(REGISTRY["q17_small_quantity_revenue"].fn(spark, sf_dir))
     assert "LeftSemi" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_semantic_dedup_no_cross_join(spark, sf_dir):
+    """SemDeDup's point is pruning the all-pairs cosine to
+    within-cluster pairs: the plan must pair via an equi-join on cid,
+    never a cartesian/BNLJ over the corpus."""
+    p = plan(REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quality_classifier_shuffle_free(spark, sf_dir):
+    """The linear classifier is pure column algebra: zero exchanges,
+    whole-stage codegen over one scan."""
+    import re
+
+    p = plan(REGISTRY["quality_classifier_linear"].fn(spark, sf_dir))
+    assert not re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M), _tree(p)
+    assert "codegen id" in p
+
+
+def test_char_class_profile_single_exchange(spark, sf_dir):
+    """Per-source QC is one partial-aggregated groupBy: exactly one
+    shuffle on the bounded source key."""
+    import re
+
+    p = plan(REGISTRY["char_class_profile"].fn(spark, sf_dir))
+    shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
+    assert len(shuffles) == 1, _tree(p)
+
+
+def test_mean_pool_partial_agg(spark, sf_dir):
+    """The pooling aggregate must combine map-side: a partial
+    HashAggregate below the exchange so the shuffle carries label x 64
+    keys, not exploded vector components."""
+    import re
+
+    p = plan(REGISTRY["embedding_mean_pool_by_label"].fn(spark, sf_dir))
+    shuffles = re.findall(r"^\s*[:+-]*\s*Exchange\b", _tree(p), re.M)
+    assert len(shuffles) == 1, _tree(p)
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bucket_sums_panel_pushdown(spark, sf_dir):
+    """The 5-min bucket panel's state filter must reach the scan."""
+    p = plan(REGISTRY["sql_bucket_sums_panel"].fn(spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "event_type" in p.split("PushedFilters")[1].splitlines()[0]

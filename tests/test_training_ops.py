@@ -85,3 +85,39 @@ def test_int8_quantization_roundtrip_error_bound(spark, sf_dir):
         if r.amax:
             assert abs(r.q * r.amax / 127.0 - x) <= r.amax / 254.0 + 1e-12
     assert len(seen) == sum(len(v) for v in orig.values())
+
+
+def test_ann_md5_twins_recall_vs_bruteforce(spark, sf_dir):
+    """The integer-grid md5 twins must preserve the ANN property the
+    production float paths have: their top-5s overlap the exact float
+    brute force (the grid quantization + deterministic sampling may
+    shift rankings, but not collapse recall)."""
+    exact = _topk(REGISTRY["cosine_topk_bruteforce"].fn(spark, sf_dir))
+    for name, floor in (
+        ("ann_lsh_cosine_md5", 0.2),
+        ("ann_ivf_cosine_md5", 0.2),
+        ("ann_pq_adc_md5", 0.2),
+        ("ann_ivfpq_adc_md5", 0.2),
+    ):
+        approx = _topk(REGISTRY[name].fn(spark, sf_dir))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= floor, f"{name} recall {hits/total:.2f}"
+
+
+def test_sketch_profile_exact_brackets_approx(spark, sf_dir):
+    """The exact profile twin must agree with the sketch profile within
+    the sketches' error bounds (2% HLL rsd, loose quantile band)."""
+    exact = {
+        r.event_type: r for r in REGISTRY["sketch_profile_exact"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r for r in REGISTRY["approx_sketches"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert ap.n == ex.n
+        assert abs(ap.approx_users - ex.n_users) <= max(5, 0.1 * ex.n_users)
+        # percentile_approx with accuracy 10000 is near-exact here
+        assert abs(ap.value_quantiles[0] - ex.p50) <= 0.05 * max(1.0, abs(ex.p50))
