@@ -322,3 +322,251 @@ def embedding_mean_pool_by_label(spark, sf_dir):
         ).alias("mean_val"),
         F.count("*").alias("n_vecs"),
     ).select("label", F.col("pos").cast("int").alias("pos"), "mean_val", "n_vecs")
+
+
+# -------------------------------------------- embedding outliers --
+
+_OUTLIER_ORACLE = f"""
+    WITH {_IV_SQL},
+    emb AS (SELECT e.vec_id, i.label, e.e
+            FROM iv e JOIN embeddings i ON i.vec_id = e.vec_id),
+    cents AS (
+      SELECT label, t.i AS d,
+             CAST(FLOOR(CAST(SUM(e[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM emb, UNNEST(generate_series(1, 64)) AS t(i)
+      GROUP BY label, t.i
+    ),
+    d2 AS (
+      SELECT v.vec_id, v.label,
+             CAST(SUM((v.e[c.d] - c.c) * (v.e[c.d] - c.c)) AS BIGINT) AS dist2
+      FROM emb v JOIN cents c ON c.label = v.label
+      GROUP BY v.vec_id, v.label
+    )
+    SELECT vec_id, label, dist2, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT vec_id, label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rk
+      FROM d2
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "embedding_outlier_by_label", oracle=_OUTLIER_ORACLE, tags=("similarity", "quality")
+)
+def embedding_outlier_by_label(spark, sf_dir):
+    """Embedding outlier report: the 5 vectors farthest (squared L2)
+    from their class centroid, per label — the QC pass that surfaces
+    mislabeled or corrupted vectors before they poison a quantizer or
+    a contrastive batch.  Centroids are FLOOR(sum/count) integers on
+    the exact grid, distances exact BIGINTs, so both the centroid
+    build and the ranking hash-match.  Plan shape: one fan-out of
+    (label, dim) partial sums (bounded keys), centroid broadcast back,
+    per-vector distance as one array fold, per-label top-5 window over
+    the tiny survivor set."""
+    e = _int_grid(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    emb = e.join(lab, "vec_id")
+
+    cents = (
+        emb.select("label", F.posexplode("e"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(
+                F.sum("col").cast("double") / F.count("*")
+            ).cast("long").alias("c")
+        )
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("cs"))
+        .select("label", F.expr("transform(cs, x -> x.c)").alias("cent"))
+    )
+    d2 = emb.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return d2.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+# ------------------------------------------------ multimodal audio --
+
+_AUDIO_ORACLE = """
+    WITH samples AS (
+      SELECT doc_id, CAST((t.i - 1) // 256 AS BIGINT) AS frame_idx,
+             CAST(ascii(substr(text, t.i, 1)) - 80 AS BIGINT) AS s
+      FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy_sq,
+           ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 9) AS rms
+    FROM samples GROUP BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_audio_energy", oracle=_AUDIO_ORACLE, tags=("multimodal",))
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio feature extraction plumbing: framewise RMS energy over a
+    PCM stream — the first feature every audio-quality filter and VAD
+    computes.  The decode is the repo's standard deterministic fake
+    (librosa absent in this container): each text character's code
+    point is one centered sample, so BOTH engines regenerate the same
+    waveform and the driver hashes the real contract — 256-sample
+    framing, per-frame exact integer energy, single-sqrt RMS.  The
+    Spark side runs the production shape: an Arrow-batched numpy
+    kernel over mapInPandas, embarrassingly parallel, one output row
+    per frame, no shuffle until the (doc, frame)-keyed aggregate that
+    the kernel itself already produces."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def frames(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_d, out_f, out_n, out_e = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # STUB decode: real impl feeds PCM via librosa/av here.
+                s = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                ) - 80
+                n = len(s)
+                if n == 0:
+                    continue
+                nf = (n + 255) // 256
+                for f in range(nf):
+                    seg = s[f * 256 : (f + 1) * 256]
+                    out_d.append(doc_id)
+                    out_f.append(f)
+                    out_n.append(len(seg))
+                    out_e.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "frame_idx": pd.Series(out_f, dtype="int64"),
+                    "n_samples": pd.Series(out_n, dtype="int64"),
+                    "energy_sq": pd.Series(out_e, dtype="int64"),
+                }
+            )
+
+    framed = d.mapInPandas(
+        frames,
+        schema="doc_id long, frame_idx long, n_samples long, energy_sq long",
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        "n_samples",
+        "energy_sq",
+        F.round(
+            F.sqrt(F.col("energy_sq").cast("double") / F.col("n_samples")), 9
+        ).alias("rms"),
+    )
+
+
+# ----------------------------------------------- PCA power iteration --
+
+
+def _pca_iter_sql(prev: str, out: str) -> str:
+    """One ∞-norm-scaled power iteration in SQL: u = G v (exact bigint),
+    then rescale to ≤1000 via FLOOR(u / max|u| * 1000) — u stays under
+    2^53 so the double math is deterministic in both engines."""
+    return f"""
+    u_{out} AS (
+      SELECT g.i AS d, CAST(SUM(g.g * v.val) AS BIGINT) AS u
+      FROM gram g JOIN {prev} v ON v.d = g.j GROUP BY g.i
+    ),
+    m_{out} AS (SELECT MAX(ABS(u)) AS m FROM u_{out}),
+    {out} AS (
+      SELECT d, CAST(FLOOR(CAST(u AS DOUBLE) / (SELECT m FROM m_{out})
+                           * 1000) AS BIGINT) AS val
+      FROM u_{out}
+    )"""
+
+
+_PCA_ORACLE = (
+    f"""
+    WITH {_IV_SQL},
+    gram AS MATERIALIZED (
+      SELECT ti.i, tj.j, CAST(SUM(e[ti.i] * e[tj.j]) AS BIGINT) AS g
+      FROM iv, UNNEST(generate_series(1, 64)) AS ti(i),
+               UNNEST(generate_series(1, 64)) AS tj(j)
+      GROUP BY ti.i, tj.j
+    ),
+    v0 AS (SELECT unnest(generate_series(1, 64)) AS d, CAST(1000 AS BIGINT) AS val),
+    """
+    + _pca_iter_sql("v0", "v1")
+    + ","
+    + _pca_iter_sql("v1", "v2")
+    + ","
+    + _pca_iter_sql("v2", "v3")
+    + """
+    SELECT CAST(d - 1 AS INTEGER) AS dim, val AS component FROM v3
+    """
+)
+
+
+@register("embedding_pca_power_iteration", oracle=_PCA_ORACLE, tags=("similarity", "iterative"))
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Dominant principal component of the embedding corpus by power
+    iteration — the whitening/compression pre-pass (PCA before PQ is
+    the standard FAISS recipe, OPQ's ancestor).  The CORPUS pass is
+    the Gram-matrix build: each Arrow batch contributes an exact
+    integer X^T X partial (numpy GEMM on the int grid — order-free),
+    reduced by a 64x64-key aggregate; that is the only pass that
+    touches data and it is one scan + one bounded shuffle at any
+    corpus size.  The 64x64 iteration then runs driver-side (same
+    bounded-artifact pattern as the k-means centroid collects), kept
+    deterministic by ∞-norm fixed-point scaling: u = Gv in exact
+    bigint, rescale by FLOOR(u / max|u| * 1000) — every op replayed
+    identically by the SQL oracle, so the driver hashes all three
+    iterations of an eigenvector computation."""
+    import numpy as np
+
+    e = _int_grid(spark, sf_dir)
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((64, 64), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["e"]])
+            acc += X.T @ X  # exact: |x|<=1000, n_batch*1e6 << 2^63
+        ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int64"),
+                "j": jj.ravel().astype("int64"),
+                "g": acc.ravel(),
+            }
+        )
+
+    gram_df = (
+        e.mapInPandas(gram_partials, schema="i long, j long, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+    G = np.zeros((64, 64), dtype=np.int64)
+    for r in gram_df.collect():  # bounded: 4096 rows
+        G[r.i, r.j] = r.g
+
+    v = np.full(64, 1000, dtype=np.int64)
+    for _ in range(3):
+        u = G @ v  # exact bigint
+        m = np.abs(u).max()
+        v = np.floor(u.astype(np.float64) / float(m) * 1000).astype(np.int64)
+
+    spark2 = e.sparkSession
+    return spark2.createDataFrame(
+        [(int(d), int(v[d])) for d in range(64)], "dim int, component bigint"
+    )

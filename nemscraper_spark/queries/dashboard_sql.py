@@ -190,3 +190,29 @@ def sql_actual_vs_hyp_panel(spark, sf_dir):
     delta column.  Both branches scan with pushed state filters; the
     join keys are the low-cardinality buckets, broadcast under AQE."""
     return run_sql(spark, sf_dir, _ACTUAL_VS_HYP_SQL)
+
+
+# all.json:15/47 — the generic explore panels: per-series AVG and
+# global SUM per time bucket, with the $__timeFilter(date) partition
+# filter expressed as a plain date-range predicate (the partition
+# pruning it exists for is pinned in test_plan_quality).
+_AVG_PER_SERIES_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
+       CAST(user_id % 10 AS STRING) AS metric,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / COUNT(value) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY date_trunc('hour', ts), user_id % 10
+"""
+
+
+@register("sql_avg_per_series_panel", oracle=_AVG_PER_SERIES_SQL, tags=("D-SQL", "A8"))
+def sql_avg_per_series_panel(spark, sf_dir):
+    """all.json:15's explore panel verbatim: time-bucketed per-series
+    average (DECIMAL-exact sum / count) under a time-range predicate.
+    With this, every panel across the reference's three dashboards
+    (fpp.json, files.json, all.json) has a hash-gated literal-SQL or
+    pipeline-query equivalent.  One scan with the range pushed down,
+    one partial-aggregated shuffle on (bucket, series)."""
+    return run_sql(spark, sf_dir, _AVG_PER_SERIES_SQL)

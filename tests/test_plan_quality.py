@@ -521,3 +521,36 @@ def test_bucket_sums_panel_pushdown(spark, sf_dir):
     p = plan(REGISTRY["sql_bucket_sums_panel"].fn(spark, sf_dir))
     assert "PushedFilters" in p
     assert "event_type" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    """The EXISTS decorrelation must plan as a semi join with the
+    order-side date filter pushed to the scan."""
+    p = plan(REGISTRY["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "PushedFilters" in p
+    assert "o_orderdate" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown benchmark: date, discount, and quantity
+    predicates all reach the parquet scan."""
+    p = plan(REGISTRY["q6_revenue_change"].fn(spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q10_topk_no_global_sort(spark, sf_dir):
+    """The top-20 over the customer roll-up must be
+    TakeOrderedAndProject, not a full sort."""
+    p = plan(REGISTRY["q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q22_anti_join_planned(spark, sf_dir):
+    """NOT EXISTS must plan as an anti join (never a filtered
+    cartesian)."""
+    p = plan(REGISTRY["q22_sales_opportunity"].fn(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
