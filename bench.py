@@ -56,6 +56,10 @@ HEADLINE = (
     "training_corpus_pipeline",
     "simhash_near_dup_pairs",
     "sql_latest_rownum_panel",
+    "ann_pq_adc_md5",
+    "semantic_dedup_clusters",
+    "pagerank_event_graph",
+    "q21_blame_single_supplier",
 )
 
 

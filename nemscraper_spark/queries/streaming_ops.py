@@ -433,3 +433,48 @@ def streaming_stateful_sessionize(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "streaming_hopping_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT value,
+             make_timestamp((epoch_us(ts) // 1800000000 - t.k) * 1800000000)
+               AS window_start
+      FROM events, UNNEST(generate_series(0, 1)) AS t(k)
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dec_sum("value")} AS sum_value
+    FROM w GROUP BY window_start
+    """,
+    tags=("streaming", "W3", "A8"),
+)
+def streaming_hopping_counts(spark, sf_dir):
+    """Hopping windows as a REAL streaming query: the continuous twin
+    of the batch hopping_window_counts — file source → watermark →
+    ``window(ts, '1 hour', '30 minutes')`` → count + decimal sum.
+    Each event enters exactly two overlapping windows; in streaming
+    the state store keys on the window start, so the 2x assignment
+    multiplies state entries, not input passes.  Complete mode over an
+    AvailableNow drain must reproduce the batch assignment
+    arithmetic bit-for-bit (the oracle computes both 30-min-aligned
+    starts per event directly)."""
+    stream, _stage = _staged_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts_w", "1 hour")
+        .groupBy(F.window("ts_w", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(
+        agg, "nemspark_streaming_hopping_counts", "complete",
+        width=_state_width(spark, sf_dir),
+    )
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "n_events",
+        "sum_value",
+    )

@@ -388,7 +388,7 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= "1996-09-01")
             & (F.col("l_shipdate") < "1996-10-01")
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
@@ -467,7 +467,7 @@ def q19_disjunctive_pred(spark, sf_dir):
     toward the part scan; the residual disjunction evaluates post-join
     in codegen."""
     li, p = _t(spark, sf_dir, "lineitem", "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#11")
@@ -544,4 +544,203 @@ def q22_sales_opportunity(spark, sf_dir):
         F.sum(F.col("c_acctbal").cast("decimal(25,4)")).cast("double").alias(
             "totacctbal"
         ),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ),
+    cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+      FROM part
+      JOIN ps ON partkey = p_partkey
+      JOIN supplier ON s_suppkey = suppkey
+      WHERE p_size = 10
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM cand c
+    WHERE s_acctbal = (
+      SELECT MIN(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey
+    )
+    """,
+    tags=("J1", "A-scalar"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per part, the supplier(s) with the minimum
+    account balance among the suppliers that actually shipped it — the
+    correlated-MIN-subquery decorrelated as a per-key aggregate joined
+    back (the execution every engine picks).  Deviation: no partsupp
+    table, so the part↔supplier relation derives from DISTINCT
+    lineitem pairs and the minimized attribute is s_acctbal (no
+    ps_supplycost).  The DISTINCT pair build shuffles the two key
+    columns once; everything after joins broadcast-sized sides."""
+    li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    cand = (
+        p.filter(F.col("p_size") == 10)
+        .join(ps, p.p_partkey == ps.partkey)
+        .join(s, ps.suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            mins,
+            (cand.p_partkey == mins.mk) & (cand.s_acctbal == mins.min_bal),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, {oracle_dec_sum("l_extendedprice * l_quantity", 6)} AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM pv
+    WHERE value > (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 0.0005 FROM pv
+    )
+    """,
+    tags=("A1", "A-scalar"),
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose inventory value exceeds a fraction
+    of the global total — the GROUP BY + HAVING-against-scalar-subquery
+    pattern.  Deviation: value = extendedprice x quantity from
+    lineitem (no partsupp).  The roll-up computes once; the global
+    threshold is a broadcast scalar over the same aggregate, so the
+    fact scans once and the filter costs one comparison per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_quantity"), 6).alias("value")
+    )
+    thresh = pv.agg(
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double") * F.lit(0.0005)
+        ).alias("t")
+    )
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("t"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    tags=("J1", "A2"),
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: per-category counts split by order priority —
+    the two-CASE-sum aggregate.  Deviation: the category is
+    l_returnflag (no l_shipmode column) and the date predicate is on
+    l_shipdate (no receiptdate).  The year filter pushes to the
+    lineitem scan; the join shuffles only surviving keys."""
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    j = o.join(
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        ),
+        o.o_orderkey == li.l_orderkey,
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q21_blame_single_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+        )
+    ) blamed
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+    tags=("J-semi", "J-anti", "A2"),
+)
+def q21_blame_single_supplier(spark, sf_dir):
+    """TPC-H Q21 shape — the hardest decorrelation in the suite: for
+    finished orders, suppliers who were the ONLY one whose line was
+    returned while other suppliers participated (EXISTS another
+    supplier's line, NOT EXISTS another supplier's returned line).
+    Deviation: 'kept waiting' is expressed via l_returnflag (no
+    commit/receipt dates).  Both correlated subqueries decorrelate to
+    one semi and one anti join on (orderkey + inequality residual);
+    all three lineitem passes shuffle on the same orderkey, so at
+    scale they co-partition and AQE reuses the exchange."""
+    li, o, s = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .distinct()
+    )
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )

@@ -554,3 +554,20 @@ def test_q22_anti_join_planned(spark, sf_dir):
     p = plan(REGISTRY["q22_sales_opportunity"].fn(spark, sf_dir))
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_q7_q8_no_cartesian_dims_broadcast(spark, sf_dir):
+    """The multi-dim join trees must broadcast the nation/region dims
+    and never fall into a cartesian for the OR-pair predicate."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_q21_semi_and_anti_on_same_key(spark, sf_dir):
+    """The double correlated subquery must decorrelate to one semi and
+    one anti join — no nested loop over lineitem."""
+    p = plan(REGISTRY["q21_blame_single_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
