@@ -744,3 +744,111 @@ def q21_blame_single_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN ps ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("A-distinct", "J-anti"),
+)
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can serve each
+    surviving (brand, type, size) bucket, excluding a blacklist — the
+    NOT-IN-subquery + COUNT(DISTINCT) pattern.  Deviations: the
+    part↔supplier relation derives from DISTINCT lineitem pairs (no
+    partsupp) and the 'customer complaints' blacklist is suppliers with
+    negative account balance (no s_comment column).  The blacklist is
+    tiny → broadcast anti join, never a shuffle; the distinct-pair
+    build shuffles two int columns once and COUNT(DISTINCT) reuses that
+    partitioning via partial aggregation."""
+    li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        pf.join(ps, pf.p_partkey == ps.l_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             {oracle_dec_sum("l_quantity", 6)} AS life_qty,
+             {oracle_dec_sum(
+                 "CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+                 "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+                 "THEN l_quantity ELSE 0 END", 6)} AS year_qty
+      FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN sq ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND life_qty > 3 * year_qty
+    """,
+    tags=("J-semi", "A2", "A-scalar"),
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock of
+    a name-matched part family — the nested IN-subqueries with a
+    correlated aggregate threshold.  Deviations: no ps_availqty, so
+    'excess' is lifetime shipped quantity exceeding 3x the quantity
+    shipped inside the probe year (same correlated-SUM-threshold
+    structure); part family is p_name LIKE 'small%'.  The part-key
+    filter broadcasts into the lineitem scan as a semi join before the
+    groupBy, so the per-(part,supplier) aggregate only ever sees the
+    ~1/6 of the fact that matches the family — the same pruning that
+    made q17's threshold build scale."""
+    li, p, s, n = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    fam = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    year = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    sq = (
+        li.join(F.broadcast(fam), li.l_partkey == fam.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            dec_sum(F.col("l_quantity"), 6).alias("life_qty"),
+            dec_sum(
+                F.when(year, F.col("l_quantity")).otherwise(F.lit(0.0)), 6
+            ).alias("year_qty"),
+        )
+        .filter(F.col("life_qty") > 3 * F.col("year_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = n.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    return (
+        s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey, "left_semi")
+        .join(sq, s.s_suppkey == sq.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )

@@ -571,3 +571,26 @@ def test_q21_semi_and_anti_on_same_key(spark, sf_dir):
     p = plan(REGISTRY["q21_blame_single_supplier"].fn(spark, sf_dir))
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_q16_blacklist_broadcast_anti(spark, sf_dir):
+    """The negative-balance supplier blacklist must enter as a
+    BROADCAST anti join — a shuffled anti over a handful of keys would
+    add a full exchange of the distinct-pair build at 100 TB."""
+    p = plan(REGISTRY["q16_supplier_cnt"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_family_semi_precedes_aggregate(spark, sf_dir):
+    """The part-family filter must reach lineitem as a semi join
+    BEFORE the per-(part,supplier) aggregate (the q17 lesson): the
+    groupBy may only see the name-matched slice, never the full fact."""
+    df = REGISTRY["q20_potential_promotion"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "LeftSemi" in p
+    agg_pos = p.index("HashAggregate")
+    semi_pos = p.index("LeftSemi")
+    # formatted plans print operators top-down (output first), so the
+    # upstream semi join appears AFTER the aggregate that consumes it.
+    assert semi_pos > agg_pos
