@@ -6,13 +6,35 @@ queries()      — every implemented operator from SURVEY.md §2 (+ the
 oracle_sql()   — DuckDB-dialect equivalents (recursive EWMA included,
                  via a bit-exact recursive CTE); keys without an oracle
                  are the genuinely non-deterministic-SQL ops
-                 (hash-seeded MinHash/LSH, approximate ANN/sketches,
-                 file-integration round trips) and get the driver's
+                 (xxhash-seeded ANN float paths) and get the driver's
                  rows-only check.
+
+Ordering contract (the driver verifies the first ~50 entries of the
+queries() dict each round, so iteration order IS the verification
+schedule):
+
+1. UNCHECKED / INVALIDATED first — any query without a hash-green
+   CORRECTNESS row, plus any query whose (implementation source,
+   oracle) fingerprint changed since QUERY_FINGERPRINTS.json was last
+   blessed (an edited query must re-earn its green, never coast on a
+   stale row — see _green_names).
+2. GREEN ROTATION next, oldest-checked-first — spare window slots
+   re-validate the greens that have gone longest without a driver row
+   (last-green round read from the CORRECTNESS_r*.json files on disk,
+   so the rotation is self-maintaining round over round).
+3. PERMANENT ROWS-ONLY names dead last — the xxhash/float production
+   paths that can never hash-match by design (each shadowed by a
+   hash-green md5 twin); they still get a row when the driver checks
+   everything, but never displace a re-validation candidate.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import inspect
+import json
+import re
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -25,119 +47,146 @@ if _REPO not in sys.path:
 
 from nemscraper_spark.queries import REGISTRY  # noqa: E402
 
-# Names with a cumulative hash-green driver CORRECTNESS row across
-# rounds 1-2 (CORRECTNESS_r01.json 50/50 + CORRECTNESS_r02.json 48
-# green; the two r02 `no_oracle` ETL rows are NOT in this set — they
-# gained a real DuckDB oracle this round and re-queue first). The
-# driver verifies the first ~50 entries of the queries() dict in
-# iteration order, so round 3 puts the not-yet-hash-green queries
-# FIRST — the re-oracled ETL round trips, then every other
-# oracle-bearing unchecked query (streaming, CDC, late round-2
-# additions, new round-3 queries), then the rows-only set — and the
-# already-green 98 after them. Nothing is removed: if the driver
-# checks more than 50, every query still gets a row.
-_DRIVER_GREEN = frozenset(
+# Names that can NEVER hash-match as registered: hash-seeded (xxhash64)
+# or float-ranked production paths whose every algorithm is pinned by a
+# hash-green md5/integer-grid twin (ann_*_md5) and recall tests.  They
+# sort dead last so their guaranteed `no_oracle` rows never consume a
+# driver window slot ahead of a real re-validation candidate.
+_PERMANENT_ROWS_ONLY = frozenset(
     {
-        # round 1 (50)
-        "select_alias", "filter_eq", "filter_in", "filter_time_range",
-        "project_arithmetic", "case_when", "coalesce_fill", "cast_types",
-        "string_clean", "str_to_double_roundtrip", "date_from_filename",
-        "ratio_division", "join_left_single", "join_inner_composite",
-        "join_expr_prev_next", "join_cross_spine", "join_range_intervals",
-        "join_dim_cascade", "anti_join_history", "semi_join_exists",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q1_pricing_summary", "global_agg", "count_per_key",
-        "avg_by_time_bucket", "filtered_agg_pivot", "dedup_keep_first",
-        "distinct_projection", "topk_orders", "sort_multi",
-        "union_by_name", "union_all_stacked", "union_distinct_timeline",
-        "time_bucket_sums", "interval_arithmetic", "epoch_extract",
-        "linear_interpolation", "running_window_sum", "lead_lag_neighbors",
-        "sessionize", "ewma_per_entity", "funnel_stages",
-        "exact_quantiles_by_type", "fpp_reference_trajectory",
-        "fpp_unit_deviations", "fpp_performance", "fpp_interval_charge",
-        "fpp_frequency_measure_ewma", "dedup_exact",
-        # round 2 (48)
-        "mad_by_type", "covar_value_props", "range_frame_rolling_sum",
-        "locf_forward_fill", "fpp_actual_performance",
-        "ngram_jaccard_pairs", "minhash_signatures_md5",
-        "minhash_lsh_pairs_md5", "simhash_fingerprint",
-        "cosine_topk_bruteforce", "text_quality_score",
-        "lang_id_heuristic", "token_count_regex", "doc_chunk_windows",
-        "doc_winnow_fingerprint", "multimodal_decode_stub",
-        "dedup_embedding_cosine", "multimodal_image_resize",
-        "multimodal_frame_sample", "training_corpus_pipeline",
-        "embedding_quantize_int8", "quality_filter_gopher",
-        "dedup_rate_by_source", "minhash_jaccard_estimate",
-        "sql_dashboard_totals", "asof_join_backward", "skew_salted_agg",
-        "rollup_totals", "grouping_sets_matrix", "unpivot_metrics",
-        "pivot_status_by_flag", "join_range_bucketed",
-        "dashboard_state_timeline", "skew_salted_join",
-        "dedup_cluster_components", "train_test_split_hash",
-        "vocab_top_tokens", "tfidf_top_terms",
-        "decontaminate_train_ngrams", "decontaminate_train_bloom",
-        "sequence_packing", "doc_repetition_score", "sample_uniform_hash",
-        "sample_stratified_topn", "redact_denylist_terms",
-        "mixture_resample_weighted", "mixture_upsample_epochs",
-        "dup_passage_spans",
+        "ann_lsh_cosine",
+        "ann_ivf_cosine",
+        "ann_pq_adc",
+        "ann_ivfpq_adc",
+        "approx_sketches",  # sketch internals engine-specific; bounds
+        # contract hash-gated by sketch_error_bounds
     }
 )
 
-# Highest-priority unchecked queries: the reference's core ETL
-# semantics, newly backed by a real DuckDB oracle (D-line recount over
-# the staged fixture), replace their round-2 `no_oracle` rows first.
-_PRIORITY_FIRST = ("nem_ingest_conservation", "nem_compaction_roundtrip")
+
+def _fingerprint(name: str) -> str:
+    """Stable digest of a query's implementation source + oracle SQL.
+    Used to drop edited queries out of the green set automatically: a
+    green is only trusted while the code that earned it is unchanged.
+    (Helper-function edits aren't captured — the local verify pass
+    covers those before fingerprints are re-blessed.)"""
+    spec = REGISTRY[name]
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):  # source unavailable (REPL, C ext)
+        src = spec.fn.__qualname__
+    payload = src + "\x00" + (spec.oracle or "")
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _green_names() -> frozenset[str]:
-    """The hardcoded green set, unioned with every hash-green row found
-    in CORRECTNESS_r*.json on disk — so when the driver writes this
-    round's results, the NEXT round's ordering adapts without an edit
-    (new greens move to the back, remaining stragglers queue first)."""
-    import glob
-    import json
+def _blessed_fingerprints() -> dict[str, str]:
+    try:
+        return json.loads(
+            (Path(_REPO) / "QUERY_FINGERPRINTS.json").read_text()
+        )
+    except (OSError, json.JSONDecodeError):
+        return {}
 
-    green = set(_DRIVER_GREEN)
+
+def _correctness_rows() -> list[tuple[int, dict]]:
+    """(round, rows) per CORRECTNESS_r*.json on disk, sorted by round."""
+    out = []
     for path in glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
         try:
             rows = json.loads(Path(path).read_text())
         except (OSError, json.JSONDecodeError):
             continue
+        out.append((int(m.group(1)), rows))
+    return sorted(out)
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> latest round with a hash-green driver row."""
+    last: dict[str, int] = {}
+    for rnd, rows in _correctness_rows():
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match"):
-                green.add(name)
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _green_names() -> frozenset[str]:
+    """Names trusted green: a hash-green CORRECTNESS row exists AND the
+    query's current fingerprint matches the blessed one (edited queries
+    drop out and re-queue first — the q17 lesson from round 4)."""
+    blessed = _blessed_fingerprints()
+    green = set()
+    for name in _last_green_round():
+        if name not in REGISTRY:
+            continue
+        if blessed.get(name) == _fingerprint(name):
+            green.add(name)
     return frozenset(green)
 
 
-# Queries added AFTER the round-3 driver window was already full: they
-# sort behind even the rows-only unchecked set so they don't displace
-# any query that has been waiting longer for its CORRECTNESS row.
-_LATE_ADDITIONS = (
-    "hopping_window_counts",
-    "events_heatmap_panel",
-    "retention_cohorts",
-    "attribution_last_touch",
-    "conversion_latency",
+# Queries edited + locally verified in round 5 whose fingerprints were
+# re-blessed before the round-5 driver run — they must record a FRESH
+# driver row under the new code, ahead of the green rotation.  The
+# block self-expires: a name drops out as soon as a CORRECTNESS round
+# >= _RECHECK_SINCE contains a completed row for it (hash-green when it
+# has an oracle; any completed rows-check otherwise).
+_RECHECK_SINCE = 5
+_RECHECK_FIRST = (
+    "approx_sketches",          # r4 harness crash -> scalar quantiles
+    "minhash_lsh_pairs_md5",    # oracle regenerated (parameterized SQL)
+    "dedup_groups_lsh_md5",     # impl + oracle now shared-generator
+    "ann_pq_adc_md5",           # _NIV_SQL zero-norm guard
+    "ann_ivfpq_adc_md5",        # _NIV_SQL zero-norm guard
+    "semantic_dedup_clusters",  # k now scales with corpus size
+    "quality_classifier_linear",  # nullif zero guards
+    "multimodal_audio_energy",  # unicode code-point kernel
+    "q17_small_quantity_revenue",  # r4 rewrite never driver-checked
 )
+
+
+def _forced_rechecks() -> list[str]:
+    done = set()
+    for rnd, rows in _correctness_rows():
+        if rnd < _RECHECK_SINCE:
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("spark_rows") is None:
+                continue
+            if REGISTRY.get(name) is None:
+                continue
+            if REGISTRY[name].oracle is None or row.get("hash_match"):
+                done.add(name)
+    return [n for n in _RECHECK_FIRST if n in REGISTRY and n not in done]
 
 
 def _driver_order() -> list[str]:
     green = _green_names()
-    rest = [
-        n for n in REGISTRY if n not in green and n not in _PRIORITY_FIRST
+    last = _last_green_round()
+    forced = _forced_rechecks()
+    placed = set(forced)
+    unchecked = [
+        n
+        for n in REGISTRY
+        if n not in green and n not in _PERMANENT_ROWS_ONLY and n not in placed
     ]
-    # Oracle-bearing unchecked queries first (hash gate = full signal),
-    # rows-only entries after them, late additions last among the
-    # unchecked; registry order within each class.
-    oracle_first = sorted(
-        rest,
-        key=lambda n: (n in _LATE_ADDITIONS, REGISTRY[n].oracle is None),
+    # Oracle-bearing unchecked/invalidated first (hash gate = full
+    # signal); registry order within each class.
+    unchecked.sort(key=lambda n: REGISTRY[n].oracle is None)
+    rotation = sorted(
+        (
+            n
+            for n in REGISTRY
+            if n in green and n not in _PERMANENT_ROWS_ONLY and n not in placed
+        ),
+        key=lambda n: last.get(n, 0),  # oldest-checked first
     )
-    checked = [
-        n for n in REGISTRY if n in green and n not in _PRIORITY_FIRST
+    tail = [
+        n for n in REGISTRY if n in _PERMANENT_ROWS_ONLY and n not in placed
     ]
-    pri = [n for n in _PRIORITY_FIRST if n not in green]
-    pri_green = [n for n in _PRIORITY_FIRST if n in green]
-    return [*pri, *oracle_first, *checked, *pri_green]
+    return [*forced, *unchecked, *rotation, *tail]
 
 
 def entry(spark: SparkSession) -> DataFrame:

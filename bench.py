@@ -184,13 +184,24 @@ def main() -> None:
     # Outlier resolution when the budget cut us to 2 samples: a >5x
     # spread between the two can't be adjudicated by their mean (the
     # median of 2), so re-time just those queries once more and let a
-    # true 3-sample median pick the stable pair.
+    # true 3-sample median pick the stable pair.  The sparse retime is
+    # NOT a full repeat: `repeats` reports only full passes and the
+    # retimed names ship separately, and the pass is capped at 15%
+    # over budget so it can't silently blow the harness timeout.
+    full_repeats = len(runs)
+    retimed_names: list[str] = []
+    retime_skipped: list[str] = []
     if len(runs) == 2:
+        retime_deadline = t_start + budget * 1.15
         retimed: dict[str, float] = {}
         for name in runs[0]:
             a, b = runs[0][name], runs[1][name]
             if max(a, b) > 5 * max(min(a, b), 0.05):
+                if time.perf_counter() > retime_deadline:
+                    retime_skipped.append(name)
+                    continue
                 retimed[name] = _time_query(REGISTRY[name])
+                retimed_names.append(name)
         if retimed:
             runs.append(retimed)  # sparse: only the disputed queries
 
@@ -220,7 +231,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
-        "repeats": len(runs),
+        "repeats": full_repeats,
+        "retimed": retimed_names,
+        "retime_skipped": retime_skipped,
         "warmed": not cold,
         "warm_sec": warm_sec,
         "steal_sec": steal_delta,
@@ -235,7 +248,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
-        "repeats": len(runs),
+        "repeats": full_repeats,
+        "retimed_n": len(retimed_names),
+        "retime_skipped_n": len(retime_skipped),
         "warmed": not cold,
         "warm_sec": warm_sec,
         "steal_sec": steal_delta,

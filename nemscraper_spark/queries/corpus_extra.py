@@ -17,16 +17,36 @@ from nemscraper_spark.queries.common import load_table, register
 from nemscraper_spark.queries.ann_twins import (
     _COS9,
     _IV_SQL,
-    _MD5_SAMPLE,
     _int_grid,
     _md5_sample_rows,
 )
 
 # ------------------------------------------------- semantic dedup --
 
+# The quantizer's k scales with the corpus: k = max(8, ceil(n / 64)).
+# Within-cluster pair volume is n^2/k, so a FIXED k is quadratic at
+# scale (measured 19.3x wall at 20x data in the round-4 probe);
+# k ∝ n makes expected pair volume ~ n * target_cluster_size — linear.
+# 64 docs/cluster keeps the centroid artifact k×64 ints ≈ n/8 bytes,
+# comfortably broadcastable up to ~1e8 docs per job; beyond that a
+# production run raises the target (SemDeDup used ~1e4 docs/cluster at
+# 1e9 scale) — same plan, different constant.  The oracle derives k
+# from COUNT(*) with the identical formula, so the driver hash covers
+# the sizing rule too.
+_SEMDEDUP_TARGET = 64
+
 _SEMDEDUP_ORACLE = f"""
     WITH {_IV_SQL},
-    cents AS ({_MD5_SAMPLE.format(idx="cid", n=8)}),
+    cents AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS cid, e
+        FROM iv
+      )
+      WHERE cid < GREATEST(8, CAST(CEIL(
+          CAST((SELECT COUNT(*) FROM iv) AS DOUBLE) / {_SEMDEDUP_TARGET}
+        ) AS BIGINT))
+    ),
     asg AS (
       SELECT vec_id, e, cid FROM (
         SELECT v.vec_id, v.e, c.cid,
@@ -60,9 +80,19 @@ def semantic_dedup_clusters(spark, sf_dir):
     thing hash-checkable: assignment, within-cluster pair generation,
     and the exact-int cosine threshold all replay in SQL.  The
     within-cluster self-join is an equi-join on cid — no cross join —
-    and each pair costs one exact integer dot."""
+    and each pair costs one exact integer dot.  k grows with the
+    corpus (k = max(8, ceil(n / 64)), n from the parquet footer —
+    metadata-only, no scan) so pair volume stays linear; see the
+    module comment above _SEMDEDUP_TARGET."""
+    import math
+    import os
+
+    from nemscraper_spark.sources.inspect import footer_row_count
+
+    n_docs = footer_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    k = max(8, math.ceil(n_docs / _SEMDEDUP_TARGET))
     e = _int_grid(spark, sf_dir)
-    cmat = _md5_sample_rows(e, 8)
+    cmat = _md5_sample_rows(e, k)
 
     def assign_fn(batches):
         import numpy as np
@@ -141,14 +171,14 @@ _QC_ORACLE = f"""
     )
     SELECT doc_id,
            ROUND({_QC_W["bias"]}
-             + {_QC_W["stopword_ratio"]} * (CAST(n_stop AS DOUBLE) / n_tokens)
-             + {_QC_W["avg_token_span"]} * (CAST(n_chars AS DOUBLE) / n_tokens)
-             + {_QC_W["digit_ratio"]} * (CAST(n_digit AS DOUBLE) / n_chars)
+             + {_QC_W["stopword_ratio"]} * (CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0))
+             + {_QC_W["avg_token_span"]} * (CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0))
+             + {_QC_W["digit_ratio"]} * (CAST(n_digit AS DOUBLE) / NULLIF(n_chars, 0))
              + {_QC_W["len_norm"]} * (CAST(n_chars AS DOUBLE) / 1000), 9) AS margin,
            CASE WHEN {_QC_W["bias"]}
-             + {_QC_W["stopword_ratio"]} * (CAST(n_stop AS DOUBLE) / n_tokens)
-             + {_QC_W["avg_token_span"]} * (CAST(n_chars AS DOUBLE) / n_tokens)
-             + {_QC_W["digit_ratio"]} * (CAST(n_digit AS DOUBLE) / n_chars)
+             + {_QC_W["stopword_ratio"]} * (CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0))
+             + {_QC_W["avg_token_span"]} * (CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0))
+             + {_QC_W["digit_ratio"]} * (CAST(n_digit AS DOUBLE) / NULLIF(n_chars, 0))
              + {_QC_W["len_norm"]} * (CAST(n_chars AS DOUBLE) / 1000) > 0
              THEN 1 ELSE 0 END AS quality_pred
     FROM feat
@@ -164,22 +194,28 @@ def quality_classifier_linear(spark, sf_dir):
     for a trained model's.  Pure column algebra: one scan, zero
     shuffles, whole-stage codegen; at 100 TB this is the cheapest
     per-doc op in the pipeline.  quality_filter_gopher pins the RULE
-    path; this pins the learned-score path the same corpus runs."""
+    path; this pins the learned-score path the same corpus runs.
+    Degenerate rows (empty text → zero tokens/chars) NULL the margin
+    via nullif-guarded divisors — mirrored in the oracle — instead of
+    engine-dependent divide-by-zero behavior."""
     d = load_table(spark, sf_dir, "documents")
     n_stop = F.expr(
         r"size(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b', 0))"
     ).cast("long")
-    n_tokens = F.size(F.split("text", " ")).cast("long")
-    n_chars = F.length("text").cast("long")
+    n_tokens = F.nullif(
+        F.size(F.split("text", " ")).cast("long"), F.lit(0).cast("long")
+    )
+    n_chars_raw = F.length("text").cast("long")
+    n_chars = F.nullif(n_chars_raw, F.lit(0).cast("long"))
     n_digit = (
         F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
     ).cast("long")
     margin = (
         F.lit(_QC_W["bias"])
         + F.lit(_QC_W["stopword_ratio"]) * (n_stop.cast("double") / n_tokens)
-        + F.lit(_QC_W["avg_token_span"]) * (n_chars.cast("double") / n_tokens)
+        + F.lit(_QC_W["avg_token_span"]) * (n_chars_raw.cast("double") / n_tokens)
         + F.lit(_QC_W["digit_ratio"]) * (n_digit.cast("double") / n_chars)
-        + F.lit(_QC_W["len_norm"]) * (n_chars.cast("double") / F.lit(1000))
+        + F.lit(_QC_W["len_norm"]) * (n_chars_raw.cast("double") / F.lit(1000))
     )
     return d.select(
         "doc_id",
@@ -425,6 +461,13 @@ def multimodal_audio_energy(spark, sf_dir):
     per frame, no shuffle until the (doc, frame)-keyed aggregate that
     the kernel itself already produces."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return audio_energy_frames(d)
+
+
+def audio_energy_frames(d):
+    """Framewise RMS energy over a (doc_id, text) frame — the reusable
+    kernel behind multimodal_audio_energy (tests drive it with
+    multilingual synthetic frames the parquet corpus doesn't have)."""
 
     def frames(batches):
         import numpy as np
@@ -434,9 +477,14 @@ def multimodal_audio_energy(spark, sf_dir):
             out_d, out_f, out_n, out_e = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 # STUB decode: real impl feeds PCM via librosa/av here.
-                s = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
-                    np.int64
-                ) - 80
+                # utf-32-le gives one uint32 PER CHARACTER (= ord(ch)),
+                # matching the oracle's char-indexed ascii(substr(..))
+                # code points on any unicode text — encode('ascii')
+                # would crash on multilingual docs and misindex
+                # multi-byte chars.
+                s = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64) - 80
                 n = len(s)
                 if n == 0:
                     continue

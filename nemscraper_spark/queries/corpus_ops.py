@@ -176,23 +176,68 @@ def dedup_cluster_components(spark, sf_dir):
     )
 
 
-@register("dedup_groups_lsh", oracle=None, tags=("dedup",))
-def dedup_groups_lsh(spark, sf_dir):
-    """The fully scale-path dup-group closure: exact-collapse →
-    MinHash+LSH verified pairs (Jaccard >= 0.5) over the REPRESENTATIVES
-    → star edges for exact members → connected components.
+def _dedup_groups_md5_oracle(n_perm: int, band_size: int) -> str:
+    """Recursive-CTE oracle for the staged dup-group closure at a given
+    md5 band geometry: exact-collapse by md5(text) → banded LSH over
+    the representatives' shingles → exact-Jaccard ≥ 0.5 verify → star
+    edges → transitive closure.  Shared by dedup_groups_lsh (16, 4 —
+    production geometry) and dedup_groups_lsh_md5 (8, 2 — compact)."""
+    from nemscraper_spark.queries.training_data import (
+        _SHINGLE_SQL,
+        _lsh_md5_sig_bands_sql,
+    )
 
-    This is dedup_cluster_components with the exact inverted-index edge
-    generation (linear but shingle-join heavy) swapped for the LSH
-    bucket join — every stage linear in corpus size, the composition a
-    100TB keep-list would actually run. Rows-only check (xxhash64 band
-    seeds aren't portable to DuckDB); the LSH pair recall and the CC
-    closure are each pinned exactly in their own tests."""
-    from nemscraper_spark.queries.training_data import lsh_verified_pairs
+    return f"""
+    WITH RECURSIVE
+    sh AS ({_SHINGLE_SQL}),
+    m AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM documents
+    ),
+    star AS (SELECT rep AS doc_a, doc_id AS doc_b FROM m WHERE doc_id <> rep),
+    reps AS (SELECT doc_id FROM m WHERE doc_id = rep),
+    rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN reps USING (doc_id)),
+    {_lsh_md5_sig_bands_sql(n_perm, band_size, "rsh")},
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN rsh a ON a.doc_id = c.doc_a
+      JOIN rsh b2 ON b2.doc_id = c.doc_b AND b2.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    near AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.doc_a
+      JOIN cnt cb ON cb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
+    ),
+    e0 AS (SELECT doc_a, doc_b FROM near
+           UNION ALL SELECT doc_a, doc_b FROM star),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM e0
+          UNION ALL SELECT doc_b, doc_a FROM e0),
+    reach(n, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+    FROM comp
+    """
+
+
+def _dedup_groups_md5(spark, sf_dir, n_perm: int, band_size: int):
+    """Spark side of the staged dup-group closure (see
+    _dedup_groups_md5_oracle): every stage linear in corpus size, the
+    closure the O(log n)-round star contraction."""
+    from nemscraper_spark.queries.training_data import lsh_verified_pairs_md5
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     mapping = (
-        d.select("doc_id", F.xxhash64("text").alias("th"))
+        d.select("doc_id", F.md5("text").alias("th"))
         .withColumn("rep", F.min("doc_id").over(Window.partitionBy("th")))
         .select("doc_id", "rep")
     )
@@ -200,10 +245,9 @@ def dedup_groups_lsh(spark, sf_dir):
         F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    near = (
-        lsh_verified_pairs(d.join(reps, "doc_id"), threshold=0.5)
-        .select("doc_a", "doc_b")
-    )
+    near = lsh_verified_pairs_md5(
+        d.join(reps, "doc_id"), threshold=0.5, n_perm=n_perm, band_size=band_size
+    ).select("doc_a", "doc_b")
     comp = connected_components(near.unionByName(star), "doc_a", "doc_b")
     w = Window.partitionBy("component")
     return comp.select(
@@ -211,6 +255,30 @@ def dedup_groups_lsh(spark, sf_dir):
         "component",
         F.count("*").over(w).alias("n_members"),
     )
+
+
+@register(
+    "dedup_groups_lsh",
+    oracle=_dedup_groups_md5_oracle(16, 4),
+    tags=("dedup", "components"),
+)
+def dedup_groups_lsh(spark, sf_dir):
+    """The fully scale-path dup-group closure at PRODUCTION band
+    geometry (16 minhashes, 4 bands of 4): exact-collapse →
+    MinHash+LSH verified pairs (Jaccard >= 0.5) over the
+    REPRESENTATIVES → star edges for exact members → connected
+    components.
+
+    This is dedup_cluster_components with the exact inverted-index
+    edge generation swapped for the LSH bucket join — every stage
+    linear in corpus size, the composition a 100TB keep-list would
+    actually run.  The registered entry seeds with md5 so the oracle
+    replays collapse, banding, verify, AND the transitive closure —
+    the production geometry is hash-gated end to end, not rows-only.
+    The xxhash64 seeding (library default lsh_verified_pairs) stays
+    the cheaper production parameterization, pinned by the
+    subset/recall tests in tests/test_training_ops.py."""
+    return _dedup_groups_md5(spark, sf_dir, n_perm=16, band_size=4)
 
 
 @register(
@@ -1082,101 +1150,23 @@ def dedup_keep_canonical(spark, sf_dir):
 
 @register(
     "dedup_groups_lsh_md5",
-    oracle=f"""
-    WITH RECURSIVE
-    sh AS ({_SHINGLE_SQL}),
-    m AS (
-      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
-      FROM documents
-    ),
-    star AS (SELECT rep AS doc_a, doc_id AS doc_b FROM m WHERE doc_id <> rep),
-    reps AS (SELECT doc_id FROM m WHERE doc_id = rep),
-    rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN reps USING (doc_id)),
-    sig AS (
-      SELECT doc_id,
-             MIN(md5('0|' || shingle)) AS s0, MIN(md5('1|' || shingle)) AS s1,
-             MIN(md5('2|' || shingle)) AS s2, MIN(md5('3|' || shingle)) AS s3,
-             MIN(md5('4|' || shingle)) AS s4, MIN(md5('5|' || shingle)) AS s5,
-             MIN(md5('6|' || shingle)) AS s6, MIN(md5('7|' || shingle)) AS s7
-      FROM rsh GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, b,
-             CASE b WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
-                    WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bucket
-      FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y
-        ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-    ),
-    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM rsh GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM cand c
-      JOIN rsh a ON a.doc_id = c.doc_a
-      JOIN rsh b2 ON b2.doc_id = c.doc_b AND b2.shingle = a.shingle
-      GROUP BY c.doc_a, c.doc_b
-    ),
-    near AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i
-      JOIN cnt ca ON ca.doc_id = i.doc_a
-      JOIN cnt cb ON cb.doc_id = i.doc_b
-      WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.5
-    ),
-    e0 AS (SELECT doc_a, doc_b FROM near
-           UNION ALL SELECT doc_a, doc_b FROM star),
-    e AS (SELECT doc_a AS u, doc_b AS v FROM e0
-          UNION ALL SELECT doc_b, doc_a FROM e0),
-    reach(n, r) AS (
-      SELECT u, u FROM (SELECT DISTINCT u FROM e)
-      UNION
-      SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
-    ),
-    comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n)
-    SELECT doc_id, component,
-           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
-    FROM comp
-    """,
+    oracle=_dedup_groups_md5_oracle(8, 2),
     tags=("dedup", "components"),
 )
 def dedup_groups_lsh_md5(spark, sf_dir):
-    """The ENTIRE scale-path dup-group closure, hash-gated end to end:
-    exact-collapse by md5(text) → md5-banded MinHash+LSH verified
-    pairs (Jaccard >= 0.5) over the representatives → star edges for
-    exact members → connected components. Same staged composition as
-    the production dedup_groups_lsh (which keeps xxhash64 banding and
-    is rows-only checked); with every hash md5, DuckDB replays
-    collapse, banding, verify, AND the transitive closure as one
-    recursive CTE — so the driver's value-hash covers the full
-    architecture a 100 TB keep-list actually runs. Every Spark stage
-    is linear (one min-agg, bucket join, pair-local set intersect) and
-    the closure is the O(log n)-round star contraction.
+    """The scale-path dup-group closure at the COMPACT band geometry
+    (8 minhashes, 4 bands of 2 — higher candidate recall, more verify
+    work): exact-collapse by md5(text) → md5-banded MinHash+LSH
+    verified pairs (Jaccard >= 0.5) over the representatives → star
+    edges for exact members → connected components.  The companion of
+    dedup_groups_lsh (16, 4 — production geometry): together they pin
+    the SAME staged architecture under two band curves, and DuckDB
+    replays collapse, banding, verify, AND the transitive closure as
+    one recursive CTE.  Every Spark stage is linear (one min-agg,
+    bucket join, pair-local set intersect) and the closure is the
+    O(log n)-round star contraction.
     """
-    from nemscraper_spark.queries.training_data import lsh_verified_pairs_md5
-
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    mapping = (
-        d.select("doc_id", F.md5("text").alias("th"))
-        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("th")))
-        .select("doc_id", "rep")
-    )
-    star = mapping.filter(F.col("doc_id") != F.col("rep")).select(
-        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
-    reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    near = lsh_verified_pairs_md5(d.join(reps, "doc_id"), threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
-    comp = connected_components(near.unionByName(star), "doc_a", "doc_b")
-    w = Window.partitionBy("component")
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        "component",
-        F.count("*").over(w).alias("n_members"),
-    )
+    return _dedup_groups_md5(spark, sf_dir, n_perm=8, band_size=2)
 
 
 @register(

@@ -191,12 +191,65 @@ def pivot_status_by_flag(spark, sf_dir):
 def approx_sketches(spark, sf_dir):
     """Approximate sketches for 100TB profiling: HLL distinct + quantile
     sketch. No oracle (engine-specific sketch internals) — pinned by
-    tests against exact values with tolerance."""
+    tests against exact values with tolerance. Quantiles are returned as
+    three scalar columns (not one array column) so the driver's
+    rows-only pandas canonicalizer can sort/hash the frame."""
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        q.getItem(0).alias("q50"),
+        q.getItem(1).alias("q95"),
+        q.getItem(2).alias("q99"),
         F.count("*").alias("n"),
+    )
+
+
+@register(
+    "sketch_error_bounds",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS hll_within_bound,
+           TRUE AS q50_within_band
+    FROM events GROUP BY event_type
+    """,
+    tags=("A-approx",),
+)
+def sketch_error_bounds(spark, sf_dir):
+    """The sketch family's HASH-GATEABLE contract: approx_sketches'
+    HLL/quantile values are engine-internal (never equal across
+    engines), but their ERROR BOUNDS are the published contract — so
+    this query computes sketch AND exact side by side in one Spark plan
+    and emits per-group booleans "within advertised bound".  The oracle
+    asserts the same booleans as literals over the same groups: if a
+    sketch ever drifts outside its bound, the hash gate goes red.  Same
+    tolerance pins as tests/test_approx.py (HLL: max(5, 10%); q50: 5%),
+    now enforced by the driver every round.  Plan: one scan, one
+    partial-aggregated groupBy carrying both the sketch state and the
+    exact state — the A/B a profiling pipeline runs once to certify
+    sketches before trusting them at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("q50a"),
+        F.expr("percentile(value, 0.5D)").alias("q50e"),
+        F.count("*").alias("n"),
+    )
+    hll_ok = (
+        F.abs(F.col("hll") - F.col("exact_users"))
+        <= F.greatest(F.lit(5.0), 0.1 * F.col("exact_users"))
+    )
+    q50_ok = (
+        F.abs(F.col("q50a") - F.col("q50e"))
+        <= 0.05 * F.greatest(F.lit(1.0), F.abs(F.col("q50e")))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        hll_ok.alias("hll_within_bound"),
+        q50_ok.alias("q50_within_band"),
     )
 
 

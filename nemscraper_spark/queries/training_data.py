@@ -188,31 +188,48 @@ def minhash_signatures_md5(spark, sf_dir):
     )
 
 
-# md5-LSH candidate CTEs (shingles → 8 md5 sigs → 4 bands of 2 →
-# bucket-join candidates → per-doc shingle counts + pair intersection
-# counts), shared by the Jaccard (minhash_lsh_pairs_md5) and
-# containment (corpus_health.minhash_containment_pairs) oracles.
-_LSH_MD5_CAND_SQL = f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+# md5-LSH candidate CTE generator (shingles → n_perm md5 sigs →
+# n_perm/band_size bands → bucket-join candidates → per-doc shingle
+# counts + pair intersection counts).  Two geometries are in use:
+# (8, 2) for the compact twins (minhash_lsh_pairs_md5, containment),
+# (16, 4) for the production-geometry primaries (minhash_lsh_pairs,
+# dedup_groups_lsh) — P[collide] = 1-(1-j^4)^4, the band curve the
+# 100 TB keep-list runs with.  `sh_src` lets the dup-group oracle band
+# over the representatives-only shingle CTE.
+def _lsh_md5_sig_bands_sql(n_perm: int, band_size: int, sh_src: str) -> str:
+    n_bands = n_perm // band_size
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS s{i}" for i in range(n_perm)
+    )
+    whens = " ".join(
+        f"WHEN {b} THEN "
+        + " || ".join(f"s{band_size * b + j}" for j in range(band_size))
+        for b in range(n_bands - 1)
+    )
+    last = " || ".join(
+        f"s{band_size * (n_bands - 1) + j}" for j in range(band_size)
+    )
+    return f"""
     sig AS (
-      SELECT doc_id,
-             MIN(md5('0|' || shingle)) AS s0, MIN(md5('1|' || shingle)) AS s1,
-             MIN(md5('2|' || shingle)) AS s2, MIN(md5('3|' || shingle)) AS s3,
-             MIN(md5('4|' || shingle)) AS s4, MIN(md5('5|' || shingle)) AS s5,
-             MIN(md5('6|' || shingle)) AS s6, MIN(md5('7|' || shingle)) AS s7
-      FROM sh GROUP BY doc_id
+      SELECT doc_id, {sig_cols}
+      FROM {sh_src} GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, b,
-             CASE b WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
-                    WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS bucket
-      FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
+             CASE b {whens} ELSE {last} END AS bucket
+      FROM sig, UNNEST(generate_series(0, {n_bands - 1})) AS t(b)
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-    ),
+    )"""
+
+
+def _lsh_md5_cand_sql(n_perm: int, band_size: int) -> str:
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    {_lsh_md5_sig_bands_sql(n_perm, band_size, "sh")},
     cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -224,17 +241,21 @@ _LSH_MD5_CAND_SQL = f"""
 """
 
 
-@register(
-    "minhash_lsh_pairs_md5",
-    oracle=_LSH_MD5_CAND_SQL
-    + """
+_LSH_MD5_CAND_SQL = _lsh_md5_cand_sql(8, 2)
+
+_LSH_JACCARD_TAIL = """
     SELECT i.doc_a, i.doc_b, i.n_common,
            CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
     FROM inter i
     JOIN cnt ca ON ca.doc_id = i.doc_a
     JOIN cnt cb ON cb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.2
-    """,
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= {t}
+"""
+
+
+@register(
+    "minhash_lsh_pairs_md5",
+    oracle=_LSH_MD5_CAND_SQL + _LSH_JACCARD_TAIL.format(t=0.2),
     tags=("dedup",),
 )
 def minhash_lsh_pairs_md5(spark, sf_dir):
@@ -253,13 +274,14 @@ def minhash_lsh_pairs_md5(spark, sf_dir):
     return lsh_verified_pairs_md5(d, threshold=0.2)
 
 
-def lsh_candidate_sets_md5(d):
+def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
     """Shared md5-LSH candidate machinery over a (doc_id, text) frame:
-    8 md5 minhash sigs → 4 bands of 2 → bucket-join candidates →
-    semi-join-pruned shingle sets per candidate doc. Returns one row
-    per candidate pair with both shingle-string sets attached
-    (doc_a, doc_b, sa, sb) — the verify MEASURE (Jaccard, containment)
-    is applied by the caller. Used by lsh_verified_pairs_md5 and
+    n_perm md5 minhash sigs → n_perm/band_size bands → bucket-join
+    candidates → semi-join-pruned shingle sets per candidate doc.
+    Returns one row per candidate pair with both shingle-string sets
+    attached (doc_a, doc_b, sa, sb) — the verify MEASURE (Jaccard,
+    containment) is applied by the caller. Used by
+    lsh_verified_pairs_md5 (both geometries) and
     corpus_health.minhash_containment_pairs."""
     sh = (
         d.withColumn("w", F.split("text", " "))
@@ -277,7 +299,7 @@ def lsh_candidate_sets_md5(d):
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
-            for i in range(8)
+            for i in range(n_perm)
         ]
     )
     bands = mins.select(
@@ -287,11 +309,14 @@ def lsh_candidate_sets_md5(d):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(
-                            "bucket"
-                        ),
+                        F.concat(
+                            *[
+                                F.col(f"s{band_size * b + j}")
+                                for j in range(band_size)
+                            ]
+                        ).alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(n_perm // band_size)
                 ]
             )
         ).alias("bb"),
@@ -323,13 +348,15 @@ def lsh_candidate_sets_md5(d):
     return cand.join(sa, "doc_a").join(sb, "doc_b")
 
 
-def lsh_verified_pairs_md5(d, threshold: float):
-    """The md5 (oracle-portable) twin of lsh_verified_pairs over a
-    (doc_id, text) frame: md5-LSH candidates (lsh_candidate_sets_md5)
-    → pair-local set-intersect exact-Jaccard verify ≥ threshold. Used
-    by minhash_lsh_pairs_md5 and the end-to-end hash-gated dup-group
-    closure (corpus_ops.dedup_groups_lsh_md5)."""
-    pairs = lsh_candidate_sets_md5(d)
+def lsh_verified_pairs_md5(d, threshold: float, n_perm: int = 8, band_size: int = 2):
+    """The md5 (oracle-portable) LSH pipeline over a (doc_id, text)
+    frame: md5-LSH candidates (lsh_candidate_sets_md5, parameterized
+    band geometry) → pair-local set-intersect exact-Jaccard verify ≥
+    threshold. Used by minhash_lsh_pairs_md5 (8, 2), the
+    production-geometry primaries minhash_lsh_pairs / dedup_groups_lsh
+    (16, 4), and the hash-gated dup-group closure
+    (corpus_ops.dedup_groups_lsh_md5)."""
+    pairs = lsh_candidate_sets_md5(d, n_perm, band_size)
     n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
     jac = n_common.cast("double") / (
         F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
@@ -340,21 +367,28 @@ def lsh_verified_pairs_md5(d, threshold: float):
     )
 
 
-@register("minhash_lsh_pairs", oracle=None, tags=("dedup",))
+@register(
+    "minhash_lsh_pairs",
+    oracle=_lsh_md5_cand_sql(16, 4) + _LSH_JACCARD_TAIL.format(t=0.2),
+    tags=("dedup",),
+)
 def minhash_lsh_pairs(spark, sf_dir):
-    """MinHash + LSH near-dup candidates, verified by exact Jaccard.
+    """MinHash + LSH near-dup candidates, verified by exact Jaccard —
+    the 100TB-scale dedup path at PRODUCTION band geometry: shingle →
+    K=16 minhashes → 4 bands of 4 → bucket-join on (band, bucket) →
+    exact verify only the collisions. Linear in corpus size; candidate
+    count is controlled by the band curve (P[collide] = 1-(1-j^4)^4).
 
-    The 100TB-scale dedup path: shingle → K=16 minhashes (xxhash64 with
-    per-permutation seeds) → 4 bands of 4 → bucket-join on
-    (band, band_hash) → exact verify only the collisions. Linear in
-    corpus size; candidate count is controlled by band geometry
-    (P[collide] = 1-(1-j^4)^4). Deterministic (fixed seeds) but
-    xxhash64 isn't portable to the oracle → rows-only check; exactness
-    of the verify step is pinned against ngram_jaccard_pairs in
-    tests/test_training_ops.py.
+    The registered entry seeds its 16 permutations with md5 so the
+    DuckDB oracle replays banding, verify, and threshold end to end —
+    the driver hash-gates the production geometry, not just the
+    compact (8, 2) twin.  The xxhash64 parameterization (~4x cheaper
+    8-byte keys, the library default lsh_verified_pairs) computes the
+    same pipeline with a non-portable hash and stays covered by the
+    recall/subset pins in tests/test_training_ops.py.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    return lsh_verified_pairs(d, threshold=0.2)
+    return lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
 
 
 def lsh_verified_pairs(d, threshold: float = 0.2):

@@ -28,5 +28,6 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         g = got[et]
         assert abs(g.approx_users - e.users) <= max(2, 0.1 * e.users)
         # exact-percentile vs sketch: generous tolerance, catches gross breakage
-        assert abs(g.value_quantiles[0] - e.p50) <= 0.2 * max(1.0, abs(e.p50))
+        assert abs(g.q50 - e.p50) <= 0.2 * max(1.0, abs(e.p50))
+        assert g.q50 <= g.q95 <= g.q99
         assert g.n == e.n

@@ -79,6 +79,39 @@ def test_audio_energy_frames_partition_the_stream(spark, sf_dir):
         assert r.mx == r.nf - 1  # dense 0..nf-1
 
 
+def test_audio_energy_kernel_handles_unicode(spark, sf_dir):
+    """The fake-PCM decode iterates CHARACTERS (code points), not
+    bytes: non-ASCII text must neither crash (the old encode('ascii')
+    did) nor mis-frame (utf-8 bytes would over-count multi-byte
+    chars).  Checked against a pure-python ord() oracle — the same
+    char-indexed semantics the DuckDB oracle's ascii(substr(..))
+    uses."""
+    import numpy as np
+
+    from nemscraper_spark.queries.corpus_extra import audio_energy_frames
+
+    texts = [
+        (1, "héllo wörld " * 30),        # latin-1 accents
+        (2, "日本語のテキストです。" * 40),  # CJK
+        (3, "mixed ascii + ünïcode 🎵" * 25),  # astral plane
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def expect(text):
+        s = np.array([ord(c) for c in text], dtype=np.int64) - 80
+        out = {}
+        for f in range((len(s) + 255) // 256):
+            seg = s[f * 256 : (f + 1) * 256]
+            out[f] = (len(seg), int((seg * seg).sum()))
+        return out
+
+    got = {}
+    for r in audio_energy_frames(df).collect():
+        got.setdefault(r.doc_id, {})[r.frame_idx] = (r.n_samples, r.energy_sq)
+    for doc_id, text in texts:
+        assert got[doc_id] == expect(text), doc_id
+
+
 def test_pca_power_iteration_climbs_rayleigh_quotient(spark, sf_dir):
     """Random-ish embeddings have a near-degenerate spectrum
     (lambda1/lambda2 ~ 1.07 here), so 3 iterations cannot isolate the

@@ -21,6 +21,24 @@ def test_minhash_candidates_subset_of_exact(spark, sf_dir):
         assert recall >= 0.5, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_xxhash_lsh_library_default_recall(spark, sf_dir):
+    """The xxhash64 parameterization (library default
+    lsh_verified_pairs — ~4x cheaper 8-byte keys, but not portable to
+    the SQL oracle, so the REGISTERED minhash_lsh_pairs entry is the
+    md5 seeding) must keep the same subset + recall contract as the
+    hash-gated primary."""
+    from nemscraper_spark.queries.common import fan_out, load_table
+    from nemscraper_spark.queries.training_data import lsh_verified_pairs
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    exact = _pairs(REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir))
+    lsh = _pairs(lsh_verified_pairs(d, threshold=0.2))
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.5, f"xxhash LSH recall collapsed: {recall:.2f}"
+
+
 def _topk(df):
     out = {}
     for r in df.collect():
@@ -120,4 +138,4 @@ def test_sketch_profile_exact_brackets_approx(spark, sf_dir):
         assert ap.n == ex.n
         assert abs(ap.approx_users - ex.n_users) <= max(5, 0.1 * ex.n_users)
         # percentile_approx with accuracy 10000 is near-exact here
-        assert abs(ap.value_quantiles[0] - ex.p50) <= 0.05 * max(1.0, abs(ex.p50))
+        assert abs(ap.q50 - ex.p50) <= 0.05 * max(1.0, abs(ex.p50))
