@@ -105,11 +105,19 @@ def compact_partition(
         ".compact_tmp_" + posixpath.basename(partition_dir).replace("=", "-"),
     )
     fsutil.delete_dir(staging)  # stale tmp from a pre-manifest crash
-    # zstd for density at rest (the cold path — ingest writes snappy,
-    # see sources/nemcsv.ingest); the zstd-jni buffer pool is disabled:
-    # with it on, repeated partitioned zstd writes degraded 9s -> 85s
-    # in-session (native buffer growth), without it they hold ~1-4s
-    df.write.mode("overwrite").option("compression", "zstd").option(
+    # Dense codec at rest (the cold path — ingest writes snappy, see
+    # sources/nemcsv.ingest).  Default zstd; SPARK_GRAFT_REST_CODEC
+    # overrides it, so a cluster with parquet's brotli codec jar on the
+    # classpath matches the reference's brotli-5 at-rest format with
+    # one env var (scripts/codec_ab.py carries the measured brotli-5
+    # density rows via pyarrow; this container lacks the jar).  The
+    # zstd-jni buffer pool is disabled: with it on, repeated
+    # partitioned zstd writes degraded 9s -> 85s in-session (native
+    # buffer growth), without it they hold ~1-4s.
+    import os as _os
+
+    codec = _os.environ.get("SPARK_GRAFT_REST_CODEC", "zstd")
+    df.write.mode("overwrite").option("compression", codec).option(
         "parquet.compression.codec.zstd.bufferPool.enabled", "false"
     ).parquet(staging)
     staged = fsutil.list_files(staging, suffix=".parquet")

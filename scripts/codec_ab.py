@@ -3,9 +3,13 @@
 available on Spark's classpath and record size + wall time, so the
 snappy/zstd deviation from the reference's brotli-5
 (/root/reference/README.md:14-27, writer src/process/chunk.rs:367-369)
-is directly comparable to its published numbers. Brotli itself is NOT
-on the parquet-java classpath here (CodecFactory raises) — which is the
-documented reason for the deviation.
+is directly comparable to its published numbers. Brotli is NOT on the
+parquet-java classpath here (CodecFactory raises) — the documented
+reason Spark WRITES stay zstd — but pyarrow ships libbrotli, so the
+table below includes REAL brotli-5 rows written by pyarrow on the same
+data: the density gap is measured, not argued. (A cluster with
+parquet brotli-codec on the classpath flips the deviation off via the
+same .option("compression", "brotli"); nothing else changes.)
 
 Usage: python scripts/codec_ab.py [sf_dir] (default /root/testdata/sf0.1)
 Prints a markdown table; paste into BASELINE.md.
@@ -73,6 +77,32 @@ def main() -> None:
                 )
         if level is not None:
             hconf.unset("parquet.compression.codec.zstd.level")
+
+    # pyarrow rows: brotli-5 is the REFERENCE'S exact codec+level; the
+    # pyarrow zstd-3 row controls for writer implementation differences
+    # (compare brotli-5/pyarrow against zstd-3/pyarrow, not against the
+    # Spark rows).  Single-threaded single-file writes — density is the
+    # comparable number, wall time is not.
+    import pyarrow.parquet as pq
+
+    for codec, level in (("brotli", 5), ("zstd", 3)):
+        for t in tables:
+            src = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+            with tempfile.TemporaryDirectory(prefix="codec_ab_pa_") as tmp:
+                out = os.path.join(tmp, "out.parquet")
+                t0 = time.perf_counter()
+                try:
+                    pq.write_table(
+                        src, out, compression=codec, compression_level=level
+                    )
+                except Exception as ex:  # codec absent in this pyarrow
+                    print(f"pyarrow {codec}-{level} unavailable: {ex}")
+                    continue
+                dt = time.perf_counter() - t0
+                rows.append(
+                    (t, f"{codec}-{level}/pyarrow",
+                     os.path.getsize(out), round(dt, 2))
+                )
 
     print("\nTable | Codec | Bytes | Ratio vs snappy | Write s")
     print("---|---|---|---|---")

@@ -147,6 +147,35 @@ def test_compaction(spark, ingested):
     assert spark.read.parquet(root).count() == before
 
 
+def test_compaction_rest_codec_flag(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_REST_CODEC overrides the at-rest codec (default
+    zstd): a cluster with the parquet brotli jar matches the
+    reference's brotli-5 format with one env var. Pinned with snappy —
+    the only alternate codec guaranteed on this classpath — by reading
+    the compacted footer's column codec via pyarrow."""
+    import pyarrow.parquet as pq
+
+    part = str(tmp_path / "t" / "date=2024-01-01")
+    os.makedirs(part)
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.mode(
+        "append"
+    ).parquet(part)
+    spark.range(50).selectExpr("id + 100 AS id", "id AS v").write.mode(
+        "append"
+    ).parquet(part)
+    monkeypatch.setenv("SPARK_GRAFT_REST_CODEC", "snappy")
+    assert compact_partition(spark, part) == 150
+    files = glob.glob(os.path.join(part, "*.parquet"))
+    assert len(files) == 1
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        meta.row_group(g).column(c).compression
+        for g in range(meta.num_row_groups)
+        for c in range(meta.row_group(g).num_columns)
+    }
+    assert codecs == {"SNAPPY"}
+
+
 def test_compact_table_parallel_partitions(spark, tmp_path):
     """compact_table's thread pool (the rayon-scope shape,
     compactor.rs:76-94): many partitions compact concurrently with the
