@@ -238,8 +238,10 @@ def _rank_top5_cos(scored):
 
 # ------------------------------------------------------------------ LSH --
 
-_LSH_ORACLE = f"""
-    WITH {_IV_SQL},
+# CTE chain shared by the LSH twin (top-5 result) and the recall
+# report (same top-5 joined against the exact ranking).
+_LSH_CTES = f"""
+    {_IV_SQL},
     planes AS (
       SELECT p, list(s ORDER BY d) AS s FROM (
         SELECT pp.p, dd.d,
@@ -269,6 +271,10 @@ _LSH_ORACLE = f"""
              {_COS9.format(q="q.qe", c="c.e")} AS cosine
       FROM q JOIN ev c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
     )
+"""
+
+_LSH_ORACLE = f"""
+    WITH {_LSH_CTES}
     {_TOP5}
 """
 
@@ -332,6 +338,83 @@ def ann_lsh_cosine_md5(spark, sf_dir):
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     return _rank_top5_cos(_int_cosine(pairs))
+
+
+_LSH_RECALL_ORACLE = f"""
+    WITH {_LSH_CTES},
+    lsh5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ),
+    ex5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_COS9.format(q="q.e", c="c.e")} DESC, c.vec_id)
+                 AS rk
+        FROM iv q JOIN iv c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall
+    FROM ex5 e
+    LEFT JOIN lsh5 l
+      ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register("ann_lsh_recall_report", oracle=_LSH_RECALL_ORACLE, tags=("similarity",))
+def ann_lsh_recall_report(spark, sf_dir):
+    """The ANN QUALITY contract, hash-gated: per-query recall@5 of the
+    LSH twin against the EXACT integer-grid cosine ranking, computed
+    inside the engine (LSH top-5 left-joined to exact top-5, hit count
+    per query).  Until now recall floors lived only in pytest; this
+    query makes the driver hash the recall numbers themselves every
+    round — if a bucketing change silently degrades search quality,
+    the gate goes red even though the LSH result is still
+    'correct LSH'.  The exact side is a 10-query brute-force pass
+    (queries broadcast, corpus scanned once — the same bounded
+    ground-truth sample a production recall monitor scores against a
+    full scan or a golden set)."""
+    from pyspark.sql import Window
+
+    lsh5 = ann_lsh_cosine_md5(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    e = _int_grid(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, q.query_id != c.neighbor_id)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    ex5 = (
+        _int_cosine(pairs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    j = ex5.join(
+        lsh5,
+        (ex5.query_id == lsh5.query_id) & (ex5.neighbor_id == lsh5.hit_id),
+        "left",
+    ).select(ex5.query_id, lsh5.hit_id)
+    return j.groupBy("query_id").agg(
+        F.count("hit_id").alias("n_hits"),
+        (F.count("hit_id").cast("double") / F.lit(5)).alias("recall"),
+    )
 
 
 # ------------------------------------------------------------------ IVF --

@@ -35,8 +35,12 @@ from nemscraper_spark.queries.ann_twins import (
 # the sizing rule too.
 _SEMDEDUP_TARGET = 64
 
-_SEMDEDUP_ORACLE = f"""
-    WITH {_IV_SQL},
+# Shared CTE chain: iv grid -> k(n) md5 centroids -> max-dot assignment
+# -> within-cluster pairs with exact-int cosine (the SemDeDup edge
+# set).  Consumed by semantic_dedup_clusters (pair report) and
+# semantic_dedup_keep_list (closure + survivor list).
+_SEMDEDUP_PAIR_CTES = f"""
+    {_IV_SQL},
     cents AS MATERIALIZED (
       SELECT * FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -56,13 +60,18 @@ _SEMDEDUP_ORACLE = f"""
       ) WHERE rnk = 1
     ),
     pairs AS (
-      SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id,
-             {_COS9.format(q="a.e", c="b.e")} AS cosine
-      FROM asg a JOIN asg b
-        ON b.cid = a.cid AND a.vec_id < b.vec_id
+      SELECT cid, keep_id, drop_id, cosine FROM (
+        SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id,
+               {_COS9.format(q="a.e", c="b.e")} AS cosine
+        FROM asg a JOIN asg b
+          ON b.cid = a.cid AND a.vec_id < b.vec_id
+      ) WHERE cosine >= 0.4
     )
-    SELECT cid, keep_id, drop_id, cosine
-    FROM pairs WHERE cosine >= 0.4
+"""
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_SEMDEDUP_PAIR_CTES}
+    SELECT cid, keep_id, drop_id, cosine FROM pairs
 """
 
 
@@ -84,6 +93,14 @@ def semantic_dedup_clusters(spark, sf_dir):
     corpus (k = max(8, ceil(n / 64)), n from the parquet footer —
     metadata-only, no scan) so pair volume stays linear; see the
     module comment above _SEMDEDUP_TARGET."""
+    return semantic_pairs(spark, sf_dir)
+
+
+def semantic_pairs(spark, sf_dir):
+    """SemDeDup edge set over the int grid: k(n) md5 centroids ->
+    max-dot cluster assignment (Arrow GEMM) -> within-cluster pairs
+    with exact-int cosine >= 0.4.  Shared by semantic_dedup_clusters
+    and semantic_dedup_keep_list."""
     import math
     import os
 
@@ -142,6 +159,65 @@ def semantic_dedup_clusters(spark, sf_dir):
     return (
         pairs.select("cid", "keep_id", "drop_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
+    )
+
+
+_SEMKEEP_ORACLE = f"""
+    WITH RECURSIVE {_SEMDEDUP_PAIR_CTES},
+    e AS (SELECT keep_id AS u, drop_id AS v FROM pairs
+          UNION ALL SELECT drop_id, keep_id FROM pairs),
+    reach(n, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT reach.n, e.v FROM reach JOIN e ON reach.r = e.u
+    ),
+    comp AS (SELECT n AS vec_id, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT v.vec_id,
+           COALESCE(c.component, v.vec_id) AS component,
+           CASE WHEN c.component IS NULL THEN 'singleton'
+                WHEN c.component = v.vec_id THEN 'canonical'
+                ELSE 'dropped' END AS status
+    FROM iv v LEFT JOIN comp c ON c.vec_id = v.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_keep_list",
+    oracle=_SEMKEEP_ORACLE,
+    tags=("dedup", "similarity", "components"),
+)
+def semantic_dedup_keep_list(spark, sf_dir):
+    """SemDeDup END TO END: the near-dup pair set (semantic_pairs —
+    clustered equi-join, exact-int cosine >= 0.4) closed into groups by
+    connected components, then materialized as the keep-list a training
+    run consumes — every vector tagged singleton / canonical (min-id
+    survivor of its group) / dropped.  Same pairs->groups->survivors
+    composition as the text-side dedup_keep_canonical, now over
+    embeddings: the oracle replays assignment, pair generation,
+    threshold AND the transitive closure as one recursive CTE, so the
+    driver hashes the whole semantic-dedup architecture, not just its
+    edge set.  Scale shape: linear pair volume (k grows with n), CC in
+    O(log n) star-contraction rounds, final tag a left join on
+    vec_id."""
+    from nemscraper_spark.operators.components import connected_components
+
+    edges = semantic_pairs(spark, sf_dir).select(
+        F.col("keep_id").alias("a"), F.col("drop_id").alias("b")
+    )
+    comp = connected_components(edges, "a", "b")
+    ids = _int_grid(spark, sf_dir).select("vec_id")
+    j = ids.join(
+        comp.select(F.col("node").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    )
+    return j.select(
+        "vec_id",
+        F.coalesce("component", "vec_id").alias("component"),
+        F.when(F.col("component").isNull(), F.lit("singleton"))
+        .when(F.col("component") == F.col("vec_id"), F.lit("canonical"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
     )
 
 

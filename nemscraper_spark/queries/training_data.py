@@ -274,6 +274,69 @@ def minhash_lsh_pairs_md5(spark, sf_dir):
     return lsh_verified_pairs_md5(d, threshold=0.2)
 
 
+def _band_curve_block(n_perm: int, band_size: int, threshold: float) -> str:
+    """One UNION-ALL arm of the band-curve report: candidate count +
+    verified count + precision for a single band geometry."""
+    return f"""
+    SELECT * FROM (
+      {_lsh_md5_cand_sql(n_perm, band_size)}
+      SELECT '{n_perm}x{band_size}' AS geometry,
+             CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS candidates,
+             CAST(COALESCE(SUM(CASE WHEN CAST(i.n_common AS DOUBLE)
+                     / (ca.n + cb.n - i.n_common) >= {threshold}
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS verified,
+             CAST(COALESCE(SUM(CASE WHEN CAST(i.n_common AS DOUBLE)
+                     / (ca.n + cb.n - i.n_common) >= {threshold}
+                   THEN 1 ELSE 0 END), 0) AS DOUBLE)
+               / NULLIF((SELECT COUNT(*) FROM cand), 0) AS precision_
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.doc_a
+      JOIN cnt cb ON cb.doc_id = i.doc_b
+    )
+    """
+
+
+@register(
+    "lsh_band_curve_report",
+    oracle=" UNION ALL ".join(
+        _band_curve_block(n, b, 0.2) for n, b in ((8, 2), (16, 4))
+    ),
+    tags=("dedup",),
+)
+def lsh_band_curve_report(spark, sf_dir):
+    """The LSH TUNING report: candidate volume, verified-pair count and
+    verify precision for two band geometries over the same corpus —
+    compact (8 sigs, 4 bands of 2: recall-greedy, verify-heavy) vs
+    production (16 sigs, 4 bands of 4: P[collide]=1-(1-j^4)^4,
+    verify-light).  The band curve is THE operational knob of 100 TB
+    dedup (it decides how many pair-verifications you pay per true
+    dup), so the report that tunes it is itself an engine op, and the
+    driver hash-gates all three numbers per geometry.  Each arm is the
+    standard linear LSH plan; nothing here is quadratic."""
+    import functools
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    arms = []
+    for n_perm, band_size in ((8, 2), (16, 4)):
+        pairs = lsh_candidate_sets_md5(d, n_perm, band_size)
+        n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+        jac = n_common.cast("double") / (
+            F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
+        )
+        arms.append(
+            pairs.select((jac >= 0.2).cast("long").alias("v")).agg(
+                F.lit(f"{n_perm}x{band_size}").alias("geometry"),
+                F.count("*").alias("candidates"),
+                F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("verified"),
+                (
+                    F.coalesce(F.sum("v"), F.lit(0).cast("long")).cast("double")
+                    / F.nullif(F.count("*"), F.lit(0).cast("long"))
+                ).alias("precision_"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), arms)
+
+
 def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
     """Shared md5-LSH candidate machinery over a (doc_id, text) frame:
     n_perm md5 minhash sigs → n_perm/band_size bands → bucket-join

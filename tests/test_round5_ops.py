@@ -1,0 +1,82 @@
+"""Invariant pins for the round-5 operators: the hash-gated recall
+report, the LSH band-curve tuning report, and the SemDeDup keep-list
+closure (cross-checks the SQL oracles can't express)."""
+
+from __future__ import annotations
+
+from nemscraper_spark.queries import REGISTRY
+
+
+def test_recall_report_matches_direct_computation(spark, sf_dir):
+    """The report's n_hits must equal the literal intersection of the
+    LSH twin's top-5 with the exact brute-force top-5 (both already
+    driver-hash-gated individually) — and recall is n_hits/5."""
+    lsh = {}
+    for r in REGISTRY["ann_lsh_cosine_md5"].fn(spark, sf_dir).collect():
+        lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # exact side: the registered float brute force agrees with the
+    # int-grid ranking on this data only approximately, so recompute
+    # ground truth the report's own way is circular — instead pin the
+    # CONTRACT: 0 <= n_hits <= 5, recall = n_hits/5, one row per query,
+    # and n_hits can't exceed what the LSH twin returned.
+    rows = REGISTRY["ann_lsh_recall_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall == r.n_hits / 5
+        assert r.n_hits <= len(lsh.get(r.query_id, ()))
+    # aggregate floor: same 0.2 recall floor the ANN family pins
+    total = sum(r.n_hits for r in rows)
+    assert total / (5 * len(rows)) >= 0.2
+
+
+def test_band_curve_counts_match_registered_queries(spark, sf_dir):
+    """Each geometry arm's verified count must equal the row count of
+    the registered query that runs that exact geometry + threshold
+    (16x4 = minhash_lsh_pairs, 8x2 = minhash_lsh_pairs_md5), and
+    verified <= candidates with precision = verified/candidates."""
+    arms = {
+        r.geometry: r
+        for r in REGISTRY["lsh_band_curve_report"].fn(spark, sf_dir).collect()
+    }
+    assert set(arms) == {"8x2", "16x4"}
+    n_16 = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).count()
+    n_8 = REGISTRY["minhash_lsh_pairs_md5"].fn(spark, sf_dir).count()
+    assert arms["16x4"].verified == n_16
+    assert arms["8x2"].verified == n_8
+    for r in arms.values():
+        assert r.verified <= r.candidates
+        if r.candidates:
+            assert r.precision_ == r.verified / r.candidates
+
+
+def test_semantic_keep_list_closure_is_consistent(spark, sf_dir):
+    """Keep-list invariants: one row per corpus vector; every pair
+    endpoint from semantic_dedup_clusters is clustered (non-singleton);
+    exactly one canonical per component; the canonical is the
+    component's min vec_id; singletons are their own component."""
+    pairs = REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect()
+    rows = REGISTRY["semantic_dedup_keep_list"].fn(spark, sf_dir).collect()
+    n_vecs = (
+        REGISTRY["semantic_dedup_keep_list"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .count()
+    )
+    assert len(rows) == n_vecs
+    by_id = {r.vec_id: r for r in rows}
+    endpoint_ids = {p.keep_id for p in pairs} | {p.drop_id for p in pairs}
+    comps: dict[int, list] = {}
+    for r in rows:
+        if r.status == "singleton":
+            assert r.component == r.vec_id
+            assert r.vec_id not in endpoint_ids
+        else:
+            comps.setdefault(r.component, []).append(r)
+    for comp_id, members in comps.items():
+        canon = [m for m in members if m.status == "canonical"]
+        assert len(canon) == 1
+        assert canon[0].vec_id == min(m.vec_id for m in members) == comp_id
+    # every pair endpoint landed in some component
+    for vid in endpoint_ids:
+        assert by_id[vid].status in ("canonical", "dropped")
