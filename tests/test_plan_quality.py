@@ -594,3 +594,36 @@ def test_q20_family_semi_precedes_aggregate(spark, sf_dir):
     # formatted plans print operators top-down (output first), so the
     # upstream semi join appears AFTER the aggregate that consumes it.
     assert semi_pos > agg_pos
+
+
+def test_semantic_keep_list_no_nested_loop(spark, sf_dir):
+    """The SemDeDup closure must stay on hash/sort-merge equi-joins
+    end to end — pair generation is the within-cluster equi-join on
+    cid and the final tag a left equi-join on vec_id; any nested loop
+    here means a cross join leaked in and the query dies at 1e9
+    vectors."""
+    p = plan(REGISTRY["semantic_dedup_keep_list"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_band_curve_arms_are_equi_joins(spark, sf_dir):
+    """Both band-geometry arms must generate candidates via the
+    (band, bucket) equi-join — the linear LSH plan — never a pair
+    enumeration."""
+    p = plan(REGISTRY["lsh_band_curve_report"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_recall_report_bnlj_is_bounded_broadcast(spark, sf_dir):
+    """The recall report's exact side is a 10-query brute force: the
+    ONLY nested-loop join allowed is that bounded broadcast (queries
+    side ~10 rows); the LSH candidate side must remain equi-joined."""
+    import re
+
+    p = plan(REGISTRY["ann_lsh_recall_report"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # formatted plans print each operator twice (tree line + detail
+    # block); count the numbered detail blocks
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
