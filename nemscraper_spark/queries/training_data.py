@@ -196,7 +196,10 @@ def minhash_signatures_md5(spark, sf_dir):
 # dedup_groups_lsh) — P[collide] = 1-(1-j^4)^4, the band curve the
 # 100 TB keep-list runs with.  `sh_src` lets the dup-group oracle band
 # over the representatives-only shingle CTE.
-def _lsh_md5_sig_bands_sql(n_perm: int, band_size: int, sh_src: str) -> str:
+def _lsh_md5_bands_only_sql(n_perm: int, band_size: int, sh_src: str) -> str:
+    """sig + bands CTEs only — callers attach their own candidate join
+    (symmetric for full-corpus dedup, asymmetric for the incremental
+    delta-vs-base path)."""
     n_bands = n_perm // band_size
     sig_cols = ", ".join(
         f"MIN(md5('{i}|' || shingle)) AS s{i}" for i in range(n_perm)
@@ -218,12 +221,19 @@ def _lsh_md5_sig_bands_sql(n_perm: int, band_size: int, sh_src: str) -> str:
       SELECT doc_id, b,
              CASE b {whens} ELSE {last} END AS bucket
       FROM sig, UNNEST(generate_series(0, {n_bands - 1})) AS t(b)
-    ),
+    )"""
+
+
+def _lsh_md5_sig_bands_sql(n_perm: int, band_size: int, sh_src: str) -> str:
+    return (
+        _lsh_md5_bands_only_sql(n_perm, band_size, sh_src)
+        + """,
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
     )"""
+    )
 
 
 def _lsh_md5_cand_sql(n_perm: int, band_size: int) -> str:
@@ -452,6 +462,150 @@ def minhash_lsh_pairs(spark, sf_dir):
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
+
+
+# The "new batch": a deterministic 20% slice of the corpus standing in
+# for tonight's crawl delta (doc_id % 5 = 4 — reproducible in SQL, no
+# date column needed in the synthetic corpus).
+_DELTA_PRED = "doc_id % 5 = 4"
+
+_INCR_ORACLE = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    {_lsh_md5_bands_only_sql(16, 4, "sh")},
+    cand AS (
+      SELECT x.doc_id AS doc_new, y.doc_id AS doc_matched
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket
+      WHERE x.{_DELTA_PRED}
+        AND y.doc_id <> x.doc_id
+        AND (NOT y.{_DELTA_PRED} OR y.doc_id < x.doc_id)
+      GROUP BY 1, 2
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_new, c.doc_matched, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_new
+      JOIN sh b ON b.doc_id = c.doc_matched AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_new, i.doc_matched, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard,
+           CASE WHEN i.doc_matched % 5 = 4 THEN 'delta' ELSE 'base' END AS kind
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_new
+    JOIN cnt cb ON cb.doc_id = i.doc_matched
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) >= 0.2
+"""
+
+
+@register("dedup_incremental_delta", oracle=_INCR_ORACLE, tags=("dedup",))
+def dedup_incremental_delta(spark, sf_dir):
+    """INCREMENTAL dedup — the nightly-batch path: near-dup matches of
+    the NEW batch (a deterministic 20% slice standing in for today's
+    crawl) against the existing corpus index plus within-batch pairs,
+    never a full-corpus re-dedup.  This is how 100 TB dedup actually
+    operates: the base corpus's band index is a persisted table that
+    only grows; each ingest joins the delta's bands against it, so the
+    nightly cost is O(delta + collisions), independent of base size.
+    (The registered query recomputes the base bands to stay
+    self-contained — the join asymmetry, which is the scale property,
+    is identical.)  Candidates where the match is itself in the delta
+    dedup as ordered pairs (no double-count); verify is the pair-local
+    pruned set intersect; every row tags its match side
+    (kind=base|delta) because the two sides route differently
+    downstream — base matches drop the new doc, delta matches go
+    through survivor selection.  Geometry/threshold match the
+    production primary (16x4, 0.2); md5 seeding keeps the whole path
+    hash-gated."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    n_perm, band_size = 16, 4
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
+            for i in range(n_perm)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"s{band_size * b + j}")
+                                for j in range(band_size)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_perm // band_size)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    # The delta-membership filter is applied AFTER the band self-join,
+    # not before: both join inputs then have IDENTICAL lineage, so AQE
+    # reuses one exchange of the (expensive) 16-min-agg banding instead
+    # of computing it twice — measured 15.6 -> ~6 s at the 20x probe.
+    # A production deployment filters FIRST because its base bands are
+    # a persisted index (free to read); recomputing-and-reusing is the
+    # right plan only for this self-contained form.
+    new_b = bands.select(F.col("doc_id").alias("doc_new"), "band", "bucket")
+    all_b = bands.select(F.col("doc_id").alias("doc_matched"), "band", "bucket")
+    new_is_delta = F.col("doc_new") % 5 == 4
+    matched_is_delta = F.col("doc_matched") % 5 == 4
+    cand = (
+        new_b.join(all_b, ["band", "bucket"])
+        .filter(
+            new_is_delta
+            & (F.col("doc_matched") != F.col("doc_new"))
+            & (~matched_is_delta | (F.col("doc_matched") < F.col("doc_new")))
+        )
+        .select("doc_new", "doc_matched")
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_new").alias("doc_id"))
+        .union(cand.select(F.col("doc_matched").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_new"), F.col("ss").alias("sa"))
+    sb = sets.select(
+        F.col("doc_id").alias("doc_matched"), F.col("ss").alias("sb")
+    )
+    pairs = cand.join(sa, "doc_new").join(sb, "doc_matched")
+    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    jac = n_common.cast("double") / (
+        F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
+    )
+    return pairs.filter(jac >= 0.2).select(
+        "doc_new",
+        "doc_matched",
+        n_common.alias("n_common"),
+        jac.alias("jaccard"),
+        F.when(matched_is_delta, F.lit("delta"))
+        .otherwise(F.lit("base"))
+        .alias("kind"),
+    )
 
 
 def lsh_verified_pairs(d, threshold: float = 0.2):

@@ -80,3 +80,30 @@ def test_semantic_keep_list_closure_is_consistent(spark, sf_dir):
     # every pair endpoint landed in some component
     for vid in endpoint_ids:
         assert by_id[vid].status in ("canonical", "dropped")
+
+
+def test_incremental_delta_equals_full_dedup_restricted(spark, sf_dir):
+    """Incremental dedup must find EXACTLY the full-dedup pairs that
+    touch the delta slice (same geometry + threshold), re-keyed so the
+    new doc is always doc_new — delta-vs-base matches keep the delta
+    side as doc_new, delta-vs-delta pairs appear once (matched < new).
+    Kind must reflect the matched side's slice."""
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).collect()
+    }
+    is_delta = lambda i: i % 5 == 4  # noqa: E731
+
+    expected = {}
+    for a, b in full:
+        if is_delta(a) and is_delta(b):
+            expected[(max(a, b), min(a, b))] = "delta"
+        elif is_delta(a):
+            expected[(a, b)] = "base"
+        elif is_delta(b):
+            expected[(b, a)] = "base"
+    got = {
+        (r.doc_new, r.doc_matched): r.kind
+        for r in REGISTRY["dedup_incremental_delta"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
