@@ -60,6 +60,9 @@ HEADLINE = (
     "semantic_dedup_clusters",
     "pagerank_event_graph",
     "q21_blame_single_supplier",
+    "dedup_incremental_delta",
+    "lsh_band_curve_report",
+    "semantic_dedup_keep_list",
 )
 
 
