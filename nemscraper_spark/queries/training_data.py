@@ -285,11 +285,26 @@ def minhash_lsh_pairs_md5(spark, sf_dir):
 
 
 def _band_curve_block(n_perm: int, band_size: int, threshold: float) -> str:
-    """One UNION-ALL arm of the band-curve report: candidate count +
-    verified count + precision for a single band geometry."""
+    """One UNION-ALL arm of the band-curve report: candidate count,
+    verified count, verify precision, and recall vs the exact-Jaccard
+    pair set at the same threshold (LSH verify applies the exact
+    measure, so verified pairs are a subset of the exact set and
+    recall = verified / exact)."""
     return f"""
     SELECT * FROM (
-      {_lsh_md5_cand_sql(n_perm, band_size)}
+      {_lsh_md5_cand_sql(n_perm, band_size)},
+    exact_n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT a.doc_id AS ea, b.doc_id AS eb,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) i2
+      JOIN cnt ca2 ON ca2.doc_id = i2.ea
+      JOIN cnt cb2 ON cb2.doc_id = i2.eb
+      WHERE CAST(i2.n_common AS DOUBLE)
+            / (ca2.n + cb2.n - i2.n_common) >= {threshold}
+    )
       SELECT '{n_perm}x{band_size}' AS geometry,
              CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS candidates,
              CAST(COALESCE(SUM(CASE WHEN CAST(i.n_common AS DOUBLE)
@@ -298,7 +313,12 @@ def _band_curve_block(n_perm: int, band_size: int, threshold: float) -> str:
              CAST(COALESCE(SUM(CASE WHEN CAST(i.n_common AS DOUBLE)
                      / (ca.n + cb.n - i.n_common) >= {threshold}
                    THEN 1 ELSE 0 END), 0) AS DOUBLE)
-               / NULLIF((SELECT COUNT(*) FROM cand), 0) AS precision_
+               / NULLIF((SELECT COUNT(*) FROM cand), 0) AS precision_,
+             (SELECT n FROM exact_n) AS exact_pairs,
+             CAST(COALESCE(SUM(CASE WHEN CAST(i.n_common AS DOUBLE)
+                     / (ca.n + cb.n - i.n_common) >= {threshold}
+                   THEN 1 ELSE 0 END), 0) AS DOUBLE)
+               / NULLIF((SELECT n FROM exact_n), 0) AS recall
       FROM inter i
       JOIN cnt ca ON ca.doc_id = i.doc_a
       JOIN cnt cb ON cb.doc_id = i.doc_b
@@ -319,13 +339,21 @@ def lsh_band_curve_report(spark, sf_dir):
     compact (8 sigs, 4 bands of 2: recall-greedy, verify-heavy) vs
     production (16 sigs, 4 bands of 4: P[collide]=1-(1-j^4)^4,
     verify-light).  The band curve is THE operational knob of 100 TB
-    dedup (it decides how many pair-verifications you pay per true
-    dup), so the report that tunes it is itself an engine op, and the
-    driver hash-gates all three numbers per geometry.  Each arm is the
-    standard linear LSH plan; nothing here is quadratic."""
+    dedup (it decides how many pair-verifications you pay per true dup
+    AND how many true dups the buckets surface at all), so the report
+    that tunes it is itself an engine op, and the driver hash-gates
+    every number per geometry — including recall vs the exact-Jaccard
+    pair set at the same threshold (the verify step applies the exact
+    measure, so verified ⊆ exact and recall = verified/exact).  Each
+    arm is the standard linear LSH plan; the exact side is the linear
+    inverted-index join; the one-row exact count enters each arm as a
+    broadcast cross join."""
     import functools
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    exact_cnt = ngram_jaccard_pairs(spark, sf_dir).agg(
+        F.count("*").alias("exact_pairs")
+    )
     arms = []
     for n_perm, band_size in ((8, 2), (16, 4)):
         pairs = lsh_candidate_sets_md5(d, n_perm, band_size)
@@ -333,15 +361,20 @@ def lsh_band_curve_report(spark, sf_dir):
         jac = n_common.cast("double") / (
             F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
         )
+        arm = pairs.select((jac >= 0.2).cast("long").alias("v")).agg(
+            F.lit(f"{n_perm}x{band_size}").alias("geometry"),
+            F.count("*").alias("candidates"),
+            F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("verified"),
+            (
+                F.coalesce(F.sum("v"), F.lit(0).cast("long")).cast("double")
+                / F.nullif(F.count("*"), F.lit(0).cast("long"))
+            ).alias("precision_"),
+        )
         arms.append(
-            pairs.select((jac >= 0.2).cast("long").alias("v")).agg(
-                F.lit(f"{n_perm}x{band_size}").alias("geometry"),
-                F.count("*").alias("candidates"),
-                F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("verified"),
-                (
-                    F.coalesce(F.sum("v"), F.lit(0).cast("long")).cast("double")
-                    / F.nullif(F.count("*"), F.lit(0).cast("long"))
-                ).alias("precision_"),
+            arm.crossJoin(F.broadcast(exact_cnt)).withColumn(
+                "recall",
+                F.col("verified").cast("double")
+                / F.nullif(F.col("exact_pairs"), F.lit(0).cast("long")),
             )
         )
     return functools.reduce(lambda a, b: a.unionByName(b), arms)
