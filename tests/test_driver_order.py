@@ -1,0 +1,111 @@
+"""Unit tests for __spark_entry__'s verification scheduling: the
+driver checks the first ~50 queries() entries, so the ordering logic
+(fingerprint-invalidated greens re-queue, oldest greens rotate forward,
+forced rechecks self-expire, permanent rows-only names sort dead last)
+is load-bearing.  No Spark needed — synthetic CORRECTNESS/fingerprint
+files in a tmp repo root."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import __spark_entry__ as entry
+from nemscraper_spark.queries import REGISTRY
+
+
+@pytest.fixture
+def fake_repo(tmp_path, monkeypatch):
+    """Point the entry module at a synthetic repo root and return a
+    helper that writes CORRECTNESS_r{n}.json files there."""
+    monkeypatch.setattr(entry, "_REPO", str(tmp_path))
+
+    def write_round(n: int, rows: dict) -> None:
+        (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text(json.dumps(rows))
+
+    def bless(names) -> None:
+        fps = {m: entry._fingerprint(m) for m in names}
+        (tmp_path / "QUERY_FINGERPRINTS.json").write_text(json.dumps(fps))
+
+    return write_round, bless
+
+
+def _green_row(n=5):
+    return {"hash_match": True, "spark_rows": n, "err": None}
+
+
+def test_unchecked_sort_before_greens_and_tail_last(fake_repo):
+    write_round, bless = fake_repo
+    names = list(REGISTRY)
+    write_round(1, {names[0]: _green_row()})
+    bless(names)
+    order = entry._driver_order()
+    # the one green name sorts after every unchecked oracle-bearing name
+    green_pos = order.index(names[0])
+    assert green_pos >= len(
+        [n for n in REGISTRY if REGISTRY[n].oracle is not None]
+    ) - 1
+    # permanent rows-only names occupy the very end (minus any that the
+    # round's forced-recheck block pulled to the front)
+    expected_tail = entry._PERMANENT_ROWS_ONLY - set(entry._forced_rechecks())
+    tail = order[-len(expected_tail):]
+    assert set(tail) == expected_tail
+
+
+def test_fingerprint_mismatch_drops_green(fake_repo):
+    write_round, bless = fake_repo
+    names = [n for n in REGISTRY if REGISTRY[n].oracle is not None][:2]
+    write_round(1, {m: _green_row() for m in names})
+    bless(names)
+    assert set(names) <= entry._green_names()
+    # corrupt one blessed fingerprint -> that name re-queues
+    fps = {m: entry._fingerprint(m) for m in names}
+    fps[names[0]] = "0" * 16
+    (entry.Path(entry._REPO) / "QUERY_FINGERPRINTS.json").write_text(
+        json.dumps(fps)
+    )
+    green = entry._green_names()
+    assert names[0] not in green and names[1] in green
+    order = entry._driver_order()
+    assert order.index(names[0]) < order.index(names[1])
+
+
+def test_rotation_is_oldest_green_first(fake_repo):
+    write_round, bless = fake_repo
+    names = [n for n in REGISTRY if REGISTRY[n].oracle is not None][:3]
+    write_round(1, {names[2]: _green_row()})
+    write_round(2, {names[0]: _green_row()})
+    write_round(4, {names[1]: _green_row()})
+    bless(names)
+    order = entry._driver_order()
+    assert order.index(names[2]) < order.index(names[0]) < order.index(names[1])
+
+
+def test_forced_recheck_expires_on_clean_row(fake_repo):
+    write_round, bless = fake_repo
+    forced = [n for n in entry._RECHECK_FIRST if n in REGISTRY]
+    assert forced, "recheck list empty — update the test with the round's list"
+    bless(list(REGISTRY))
+    # no round >= _RECHECK_SINCE on disk: every forced name queues first
+    assert entry._forced_rechecks() == forced
+    # a clean row in round _RECHECK_SINCE expires that name
+    target = forced[0]
+    row = (
+        _green_row()
+        if REGISTRY[target].oracle is not None
+        else {"hash_match": None, "spark_rows": 7, "err": "no_oracle"}
+    )
+    write_round(entry._RECHECK_SINCE, {target: row})
+    assert target not in entry._forced_rechecks()
+    # a CRASHED row (spark_rows null) does NOT expire it
+    write_round(entry._RECHECK_SINCE, {target: {"spark_rows": None, "err": "boom"}})
+    assert target in entry._forced_rechecks()
+
+
+def test_last_green_round_takes_max(fake_repo):
+    write_round, bless = fake_repo
+    name = next(iter(REGISTRY))
+    write_round(1, {name: _green_row()})
+    write_round(3, {name: _green_row()})
+    assert entry._last_green_round()[name] == 3
