@@ -221,6 +221,83 @@ def semantic_dedup_keep_list(spark, sf_dir):
     )
 
 
+_HARDNEG_ORACLE = f"""
+    WITH {_IV_SQL},
+    lab AS (SELECT vec_id, label FROM embeddings)
+    SELECT query_id, neighbor_id, neg_label, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             cl.label AS neg_label,
+             {_COS9.format(q="q.e", c="c.e")} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS9.format(q="q.e", c="c.e")} DESC, c.vec_id)
+               AS rk
+      FROM iv q
+      JOIN lab ql ON ql.vec_id = q.vec_id
+      JOIN lab cl ON cl.label <> ql.label
+      JOIN iv c ON c.vec_id = cl.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "hard_negative_mining", oracle=_HARDNEG_ORACLE, tags=("similarity", "training")
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    near-misses that actually move an embedding model, vs easy random
+    negatives.  Exact integer-grid cosine (hash-gated) over the
+    bounded anchor set; the corpus side is one scan with the
+    different-label predicate applied before ranking.  At production
+    scale the anchor set is a training batch and the corpus side runs
+    through the same IVF/LSH bucketing as the ANN family — the mining
+    loop is ann_*'s plan with a label-inequality filter on the
+    candidate list, which this query pins exactly."""
+    from pyspark.sql import Window
+
+    e = _int_grid(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    el = e.join(lab, "vec_id")
+    q = el.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    c = el.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("label").alias("neg_label"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("q_label") != F.col("neg_label"))
+
+    def idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, r: p * r),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cosine = F.round(
+        idot(F.col("qe"), F.col("ce")).cast("double")
+        / (
+            F.sqrt(idot(F.col("qe"), F.col("qe")).cast("double"))
+            * F.sqrt(idot(F.col("ce"), F.col("ce")).cast("double"))
+        ),
+        9,
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", "neg_label", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+
+
 # -------------------------------------------- linear quality score --
 
 # fastText-style linear classifier over interpretable features, with
@@ -297,6 +374,61 @@ def quality_classifier_linear(spark, sf_dir):
         "doc_id",
         F.round(margin, 9).alias("margin"),
         F.when(margin > 0, F.lit(1)).otherwise(F.lit(0)).alias("quality_pred"),
+    )
+
+
+# Power-of-two bucket boundaries as exact integer literals on BOTH
+# sides — a float POWER(2, CEIL(LOG2(n))) could round differently per
+# engine at exact powers of two.
+_POW2 = [1 << i for i in range(21)]
+
+_PADDING_ORACLE = f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tokens,
+             list_min(list_filter({_POW2}, x -> x >= n_tokens)) AS bucket
+      FROM t WHERE n_tokens >= 1
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_tokens,
+           CAST(SUM(bucket - n_tokens) AS DOUBLE) / SUM(bucket) AS waste_ratio
+    FROM b GROUP BY bucket
+"""
+
+
+@register(
+    "length_bucket_padding_report", oracle=_PADDING_ORACLE, tags=("text", "training")
+)
+def length_bucket_padding_report(spark, sf_dir):
+    """Batch-shape planning: docs assigned to power-of-two length
+    buckets with the padding waste each bucket pays (bucket width −
+    true tokens).  Length-bucketed batching is how training loaders
+    avoid padding a 30-token doc to a 4096 context; this report — one
+    scan, bounded-key aggregate, exact integer bucket boundaries on
+    both engines — is the input that picks the bucket edges and
+    quantifies what fraction of every batch is wasted pad tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    bucket = F.array_min(F.filter(pow2, lambda x: x >= F.col("n_tokens")))
+    b = (
+        d.select(n_tokens.alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .select("n_tokens", bucket.alias("bucket"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens")).alias("padding_tokens"),
+        (
+            F.sum(F.col("bucket") - F.col("n_tokens")).cast("double")
+            / F.sum("bucket")
+        ).alias("waste_ratio"),
     )
 
 

@@ -107,3 +107,45 @@ def test_incremental_delta_equals_full_dedup_restricted(spark, sf_dir):
         for r in REGISTRY["dedup_incremental_delta"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    anchor's, ranks must be dense 1..5 per anchor, and cosines must be
+    non-increasing in rank (ties broken by neighbor_id)."""
+    from nemscraper_spark.queries.common import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in REGISTRY["hard_negative_mining"].fn(spark, sf_dir).collect():
+        assert r.neg_label == labels[r.neighbor_id]
+        assert r.neg_label != labels[r.query_id]
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q) == 10
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == [1, 2, 3, 4, 5]
+        for a, b in zip(rows, rows[1:]):
+            assert a.cosine > b.cosine or (
+                a.cosine == b.cosine and a.neighbor_id < b.neighbor_id
+            )
+
+
+def test_padding_report_accounts_for_every_doc(spark, sf_dir):
+    """Buckets are powers of two, every doc lands in exactly one
+    bucket, and tokens + padding = bucket capacity per group."""
+    from nemscraper_spark.queries.common import load_table
+
+    rows = REGISTRY["length_bucket_padding_report"].fn(spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.bucket & (r.bucket - 1) == 0  # power of two
+        capacity = r.bucket * r.n_docs
+        assert r.total_tokens + r.padding_tokens == capacity
+        assert abs(r.waste_ratio - r.padding_tokens / capacity) < 1e-12
