@@ -727,6 +727,61 @@ def audio_energy_frames(d):
     )
 
 
+_SHUFFLE_ORACLE = """
+    WITH x AS (
+      SELECT d.doc_id, e.epoch,
+             md5(CAST(e.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR))
+               AS k
+      FROM documents d,
+           (SELECT unnest(generate_series(0, 1)) AS epoch) e
+    )
+    SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+           CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 8
+                AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch,
+                            (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 8
+               ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM x
+"""
+
+
+@register("epoch_shuffle_shards", oracle=_SHUFFLE_ORACLE, tags=("training",))
+def epoch_shuffle_shards(spark, sf_dir):
+    """Seed-stable epoch shuffling: every (doc, epoch) gets a
+    deterministic shard and an order-within-shard from md5(epoch|doc) —
+    the shard manifest a training loader consumes.  Hash-ordering means
+    epoch 2's order is uncorrelated with epoch 1's yet every re-run
+    (and every engine) reproduces it exactly — the property that makes
+    a training run restartable mid-epoch.  Plan: the epoch spine is a
+    2-row broadcast, shard assignment is a pure projection, and the
+    within-shard position is one window sort per (epoch, shard) —
+    shard-local work, the same shape at 8 shards or 8 thousand."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    x = d.crossJoin(F.broadcast(epochs))
+    k = F.md5(
+        F.concat_ws(
+            "|", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+        )
+    )
+    hex_idx = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("k"), 1, 1)) - 1
+    ).cast("long")
+    from pyspark.sql import Window
+
+    keyed = x.select("doc_id", "epoch", k.alias("k")).withColumn(
+        "shard", hex_idx % 8
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 # ----------------------------------------------- PCA power iteration --
 
 

@@ -149,3 +149,27 @@ def test_padding_report_accounts_for_every_doc(spark, sf_dir):
         capacity = r.bucket * r.n_docs
         assert r.total_tokens + r.padding_tokens == capacity
         assert abs(r.waste_ratio - r.padding_tokens / capacity) < 1e-12
+
+
+def test_epoch_shuffle_is_a_dense_permutation_per_shard(spark, sf_dir):
+    """Every (doc, epoch) appears exactly once, shards are 0..7, pos is
+    dense 1..|shard| within each (epoch, shard), and the two epochs
+    order the corpus differently (seed-stable but epoch-decorrelated)."""
+    from nemscraper_spark.queries.common import load_table
+
+    rows = REGISTRY["epoch_shuffle_shards"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == 2 * n_docs
+    seen = {(r.doc_id, r.epoch) for r in rows}
+    assert len(seen) == len(rows)
+    shards: dict[tuple, list] = {}
+    for r in rows:
+        assert 0 <= r.shard <= 7
+        shards.setdefault((r.epoch, r.shard), []).append(r.pos)
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    key = {}
+    for r in rows:
+        key.setdefault(r.doc_id, {})[r.epoch] = (r.shard, r.pos)
+    same = sum(1 for v in key.values() if v[0] == v[1])
+    assert same < 0.05 * n_docs  # epochs must not reuse the order
