@@ -178,6 +178,49 @@ def streaming_window_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_topk_complete",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY n_events DESC, hour_start, event_type
+    LIMIT 10
+    """,
+    tags=("streaming", "O1", "A8"),
+)
+def streaming_topk_complete(spark, sf_dir):
+    """Streaming GLOBAL TOP-K — the live leaderboard: tumbling 1-hour
+    windows × event_type, ordered by count with a total tie-break
+    (count desc, window start, type) and LIMIT 10, all INSIDE the
+    streaming query.  Sort + limit are legal only on a Complete-mode
+    aggregate, and Spark recomputes the exact top-10 every micro-batch
+    from the full aggregation state — the one output-mode/operator
+    combination that gives continuously-correct rankings (an
+    append-mode consumer would have to re-rank downstream).  Bounded
+    AvailableNow drain = the batch top-10 bit-for-bit, which is what
+    the oracle pins."""
+    stream, _stage = _staged_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts_w", "1 hour")
+        .groupBy(F.window("ts_w", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    top = agg.orderBy(
+        F.desc("n_events"), F.col("w.start"), "event_type"
+    ).limit(10)
+    out = _run_to_memory(
+        top, "nemspark_streaming_topk_complete", "complete",
+        width=_state_width(spark, sf_dir),
+    )
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
     "streaming_dedup_replay",
     oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
     tags=("streaming", "M1", "dedup"),
