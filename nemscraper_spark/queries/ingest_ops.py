@@ -91,6 +91,48 @@ _ORACLE_D_COUNTS = f"""
 
 
 @register(
+    "nem_datasource_scan",
+    oracle=_ORACLE_D_COUNTS
+    + """
+    SELECT table_key, d AS n_rows FROM counts
+    """,
+    tags=("S4", "S5"),
+)
+def nem_datasource_scan(spark, sf_dir):
+    """S4/S5 through the Spark-4 PYTHON DATASOURCE connector
+    (sources/nemsource.py): ``spark.read.format("nemcsv").load(dir)``
+    scans the NEM ZIP with planning-time partitions (one per ZIP
+    member) and yields the generic parsed layer; the query counts
+    D-rows per table and the oracle independently recounts them from
+    the raw fixture bytes.  Same grammar as the mapInPandas splitter
+    (nem_ingest_conservation pins that path end-to-end through
+    parquet); this entry pins the CONNECTOR surface — format
+    registration, partition planning, by-value class shipping to
+    foreign-environment executors."""
+    tmp = tempfile.mkdtemp(prefix="nem_ds_")
+    with zipfile.ZipFile(
+        os.path.join(tmp, "PUBLIC_DISPATCHIS_20220720_0001.zip"), "w"
+    ) as zf:
+        zf.writestr("PUBLIC_DISPATCHIS_202207201800.CSV", _NEM_CSV)
+
+    from nemscraper_spark.sources.nemsource import register as _reg_ds
+
+    _reg_ds(spark)
+    counts = (
+        spark.read.format("nemcsv")
+        .load(tmp)
+        .groupBy("table_key")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.table_key, r.n_rows) for r in counts],
+        "table_key string, n_rows long",
+    )
+
+
+@register(
     "nem_ingest_conservation",
     oracle=_ORACLE_D_COUNTS
     + """

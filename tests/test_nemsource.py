@@ -1,0 +1,72 @@
+"""The nemcsv Python DataSource connector (sources/nemsource.py) must
+parse the I/D grammar identically to the mapInPandas splitter and plan
+one input partition per ZIP member / raw CSV."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from nemscraper_spark.queries.ingest_ops import _NEM_CSV
+from nemscraper_spark.sources.nemsource import nem_csv_data_source, register
+
+
+def _expected_d_lines() -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    key = None
+    for line in _NEM_CSV.split("\r\n"):
+        if line.startswith("I"):
+            f = line.split(",")
+            key = "---".join(f[1:4])
+        elif line.startswith("D") and key:
+            out.setdefault(key, []).append(line)
+    return out
+
+
+def test_connector_matches_grammar_and_partitions(spark, tmp_path):
+    # two zips (one with two members) + one raw csv = 4 partitions
+    with zipfile.ZipFile(tmp_path / "a.zip", "w") as zf:
+        zf.writestr("A_1.CSV", _NEM_CSV)
+        zf.writestr("A_2.CSV", _NEM_CSV)
+    with zipfile.ZipFile(tmp_path / "b.zip", "w") as zf:
+        zf.writestr("B_1.CSV", _NEM_CSV)
+    (tmp_path / "c.csv").write_text(_NEM_CSV)
+
+    register(spark)
+    df = spark.read.format("nemcsv").load(str(tmp_path))
+
+    reader = nem_csv_data_source()({"path": str(tmp_path)}).reader(None)
+    assert len(reader.partitions()) == 4
+
+    expected = _expected_d_lines()
+    rows = df.collect()
+    # every copy contributes the full grammar: 4 sources x 5 D-lines
+    assert len(rows) == 4 * sum(len(v) for v in expected.values())
+    for r in rows:
+        assert r.line in expected[r.table_key]
+        assert r.headers.count("\x1f") >= 3  # joined header names
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.src_file, []).append(r.line)
+    assert set(per_src) == {"A_1.CSV", "A_2.CSV", "B_1.CSV", "c.csv"}
+    flat_expected = sorted(l for v in expected.values() for l in v)
+    for lines in per_src.values():
+        assert sorted(lines) == flat_expected
+
+
+def test_connector_drops_pre_i_and_c_rows(spark, tmp_path):
+    txt = "\r\n".join(
+        [
+            "C,NEMP.WORLD,header,row",
+            "D,FPP,ORPHAN,1,dropped,before,any,I,row",
+            "I,T,S,1,H1,H2",
+            "D,T,S,1,a,b",
+            'C,"END OF REPORT",1',
+        ]
+    )
+    (tmp_path / "x.csv").write_text(txt)
+    register(spark)
+    rows = spark.read.format("nemcsv").load(str(tmp_path / "x.csv")).collect()
+    assert len(rows) == 1
+    assert rows[0].table_key == "T---S---1"
+    assert rows[0].line == "D,T,S,1,a,b"
