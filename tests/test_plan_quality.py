@@ -610,10 +610,14 @@ def test_semantic_keep_list_no_nested_loop(spark, sf_dir):
 def test_band_curve_arms_are_equi_joins(spark, sf_dir):
     """Both band-geometry arms must generate candidates via the
     (band, bucket) equi-join — the linear LSH plan — never a pair
-    enumeration."""
+    enumeration.  The only nested loops allowed are the two bounded
+    1-row broadcast cross joins that attach the exact-pair count to
+    each arm's single aggregate row."""
+    import re
+
     p = plan(REGISTRY["lsh_band_curve_report"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2
 
 
 def test_recall_report_bnlj_is_bounded_broadcast(spark, sf_dir):
