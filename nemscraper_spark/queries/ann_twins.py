@@ -127,22 +127,27 @@ _MD5_SAMPLE = (
 
 # Grid frames and the bounded training samples drawn from them are
 # identical for every ANN-family query in a session, so both are built
-# ONCE per (session, sf_dir) and shared — re-deriving the grid and
+# ONCE per (application, sf_dir) and shared — re-deriving the grid and
 # re-collecting the sample per query was ~20% of the family's combined
-# bench time.  The grid DataFrames are persisted (tiny: n×64 bigints);
-# samples are keyed by the cached grid object's id(), which is stable
-# because the cache holds a strong reference for the process lifetime.
-_GRID_CACHE: dict[tuple[int, str, str], object] = {}
-_SAMPLE_CACHE: dict[tuple[str, int, int], list[list[int]]] = {}
+# bench time.  Keys are (applicationId, sf_dir, kind) STRINGS — never
+# object ids, which can be reused after GC — and the grid's own key is
+# attached to the cached DataFrame so the sample memoizers below only
+# ever cache against an explicitly-keyed grid (any other frame
+# bypasses the cache).  Entries live for the process (bounded: one
+# persisted n×64-bigint frame + a few k×64 sample lists per
+# (application, sf_dir) pair actually queried).
+_GRID_CACHE: dict[tuple[str, str, str], object] = {}
+_SAMPLE_CACHE: dict[tuple, list[list[int]]] = {}
 
 
 def _cached_grid(spark, sf_dir, kind: str, build):
-    key = (id(spark), sf_dir, kind)
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _GRID_CACHE.get(key)
     if df is None:
         from pyspark import StorageLevel
 
         df = build(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        df._nemspark_grid_key = key
         _GRID_CACHE[key] = df
     return df
 
@@ -171,17 +176,19 @@ def _md5_sample_rows(e, n: int):
     """First n (vec_id, e) rows under md5(vec_id) ordering — bounded
     collect (n ≪ corpus by construction: coarse-quantizer sizing keeps
     it broadcastable), the twin of _MD5_SAMPLE.  Memoized per cached
-    grid frame."""
-    key = ("md5", id(e), n)
-    rows = _SAMPLE_CACHE.get(key)
-    if rows is None:
-        rows = [
-            [int(x) for x in r.e]
-            for r in e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
-            .orderBy("r", "vec_id")
-            .limit(n)
-            .collect()
-        ]
+    grid frame (explicit grid key; other frames bypass the cache)."""
+    gkey = getattr(e, "_nemspark_grid_key", None)
+    key = None if gkey is None else ("md5", gkey, n)
+    if key is not None and key in _SAMPLE_CACHE:
+        return _SAMPLE_CACHE[key]
+    rows = [
+        [int(x) for x in r.e]
+        for r in e.withColumn("r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("r", "vec_id")
+        .limit(n)
+        .collect()
+    ]
+    if key is not None:
         _SAMPLE_CACHE[key] = rows
     return rows
 
@@ -191,13 +198,16 @@ def _id_sample_rows(e, n: int):
     train-on-prefix recipe: the query vectors sit inside the sample by
     construction, which is what makes a K=16 codebook usable).  Bounded
     collect; at 100 TB this is the standard FAISS train-on-sample
-    pattern with a deterministic sample.  Memoized per cached grid."""
-    key = ("id", id(e), n)
-    rows = _SAMPLE_CACHE.get(key)
-    if rows is None:
-        rows = [
-            [int(x) for x in r.e] for r in e.orderBy("vec_id").limit(n).collect()
-        ]
+    pattern with a deterministic sample.  Memoized per cached grid
+    (explicit grid key; other frames bypass the cache)."""
+    gkey = getattr(e, "_nemspark_grid_key", None)
+    key = None if gkey is None else ("id", gkey, n)
+    if key is not None and key in _SAMPLE_CACHE:
+        return _SAMPLE_CACHE[key]
+    rows = [
+        [int(x) for x in r.e] for r in e.orderBy("vec_id").limit(n).collect()
+    ]
+    if key is not None:
         _SAMPLE_CACHE[key] = rows
     return rows
 

@@ -201,6 +201,9 @@ def _lsh_md5_bands_only_sql(n_perm: int, band_size: int, sh_src: str) -> str:
     (symmetric for full-corpus dedup, asymmetric for the incremental
     delta-vs-base path)."""
     n_bands = n_perm // band_size
+    # the CASE ladder below needs >= 1 WHEN arm; a single-band
+    # geometry would generate 'CASE b ELSE ... END' (invalid SQL)
+    assert n_bands >= 2, "band geometry needs at least two bands"
     sig_cols = ", ".join(
         f"MIN(md5('{i}|' || shingle)) AS s{i}" for i in range(n_perm)
     )
@@ -380,16 +383,10 @@ def lsh_band_curve_report(spark, sf_dir):
     return functools.reduce(lambda a, b: a.unionByName(b), arms)
 
 
-def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
-    """Shared md5-LSH candidate machinery over a (doc_id, text) frame:
-    n_perm md5 minhash sigs → n_perm/band_size bands → bucket-join
-    candidates → semi-join-pruned shingle sets per candidate doc.
-    Returns one row per candidate pair with both shingle-string sets
-    attached (doc_a, doc_b, sa, sb) — the verify MEASURE (Jaccard,
-    containment) is applied by the caller. Used by
-    lsh_verified_pairs_md5 (both geometries) and
-    corpus_health.minhash_containment_pairs."""
-    sh = (
+def _shingle_frame(d):
+    """(doc_id, text) → exploded distinct word-3-gram rows — the
+    Spark twin of _SHINGLE_SQL, shared by every md5-LSH pipeline."""
+    return (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
         .select(
@@ -402,13 +399,20 @@ def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
             ).alias("shingle"),
         )
     )
+
+
+def _md5_bands_frame(sh, n_perm: int, band_size: int):
+    """Shingle rows → (doc_id, band, bucket) band rows at the given
+    geometry — the Spark twin of _lsh_md5_bands_only_sql, shared by
+    lsh_candidate_sets_md5 and dedup_incremental_delta so a geometry
+    or shingle fix lands everywhere at once."""
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
             for i in range(n_perm)
         ]
     )
-    bands = mins.select(
+    return mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -427,6 +431,19 @@ def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
+    """Shared md5-LSH candidate machinery over a (doc_id, text) frame:
+    n_perm md5 minhash sigs → n_perm/band_size bands → bucket-join
+    candidates → semi-join-pruned shingle sets per candidate doc.
+    Returns one row per candidate pair with both shingle-string sets
+    attached (doc_a, doc_b, sa, sb) — the verify MEASURE (Jaccard,
+    containment) is applied by the caller. Used by
+    lsh_verified_pairs_md5 (both geometries) and
+    corpus_health.minhash_containment_pairs."""
+    sh = _shingle_frame(d)
+    bands = _md5_bands_frame(sh, n_perm, band_size)
     la = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     lb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
@@ -551,45 +568,8 @@ def dedup_incremental_delta(spark, sf_dir):
     production primary (16x4, 0.2); md5 seeding keeps the whole path
     hash-gated."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = (
-        d.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle"),
-        )
-    )
-    n_perm, band_size = 16, 4
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
-            for i in range(n_perm)
-        ]
-    )
-    bands = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(
-                            *[
-                                F.col(f"s{band_size * b + j}")
-                                for j in range(band_size)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_perm // band_size)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    sh = _shingle_frame(d)
+    bands = _md5_bands_frame(sh, n_perm=16, band_size=4)
     # The delta-membership filter is applied AFTER the band self-join,
     # not before: both join inputs then have IDENTICAL lineage, so AQE
     # reuses one exchange of the (expensive) 16-min-agg banding instead

@@ -74,17 +74,30 @@ def nem_csv_data_source():
                                 parts.append(_NemPart(f, m))
                 elif low.endswith(".csv"):
                     parts.append(_NemPart(f, None))
-            return parts or [_NemPart(self._path, None)]
+            # no matching files (e.g. an empty landing dir) -> empty
+            # scan, like any file source; a single non-matching FILE
+            # path still reads as raw CSV text (caller asked for it)
+            if not parts and os.path.isfile(self._path):
+                parts = [_NemPart(self._path, None)]
+            return parts
 
         def read(self, partition):
             # Executor-side: stream one member's lines through the
-            # I/D grammar (split.rs:64-125): I row opens a block
-            # (table_key = fields 1-3 joined "---", headers = the
-            # remaining fields), D rows belong to the current block,
-            # rows before any I row and C header/footer rows drop.
+            # I/D grammar, EXACTLY as sources/nemcsv.py's splitter does
+            # (split.rs:64-125): an "I," row with >= 5 csv fields opens
+            # a block (table_key = fields 1-3 joined "---", headers =
+            # the remaining fields, csv-parsed so quoting round-trips);
+            # a malformed/short I row keeps the CURRENT block open
+            # (csv_batch_processor.rs:72-74 state-machine semantics);
+            # "D," rows belong to the current block; C rows, pre-I
+            # rows, and non-"D," lines drop.
+            import csv as _csv
             import io
             import os
             import zipfile
+
+            if partition is None:  # empty scan (no matching files)
+                return
 
             if partition.member is not None:
                 with zipfile.ZipFile(partition.path) as zf:
@@ -100,19 +113,14 @@ def nem_csv_data_source():
             sep = "\x1f"  # matches nemcsv._HDR_SEP
             for line in io.StringIO(raw.decode("utf-8", "replace")):
                 line = line.rstrip("\r\n")
-                if not line:
-                    continue
-                marker = line[0]
-                if marker == "I":
-                    fields = line.split(",")
-                    if len(fields) >= 4:
-                        table_key = "---".join(fields[1:4])
-                        headers = sep.join(fields[4:])
-                    else:
-                        table_key = headers = None
-                elif marker == "D" and table_key is not None:
+                if line.startswith("I,"):
+                    row = next(_csv.reader([line]), None)
+                    if row and len(row) >= 5:
+                        table_key = "---".join(row[1:4])
+                        headers = sep.join(row[4:])
+                    # else: previous block continues
+                elif line.startswith("D,") and table_key is not None:
                     yield (src, table_key, headers, line)
-                # C rows and pre-I D rows drop
 
     class NemCsvDataSource(DataSource):
         @classmethod
@@ -132,9 +140,8 @@ def nem_csv_data_source():
 
 
 def register(spark) -> None:
-    """Idempotently register the ``nemcsv`` format on a session."""
-    try:
-        spark.dataSource.register(nem_csv_data_source())
-    except Exception:
-        # already registered under this name in this session
-        pass
+    """Register the ``nemcsv`` format on a session.  Spark 4's
+    ``dataSource.register`` silently replaces an existing registration
+    under the same name, so this is naturally idempotent — real
+    failures (missing API, serialization error) must propagate."""
+    spark.dataSource.register(nem_csv_data_source())

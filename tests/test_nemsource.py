@@ -59,14 +59,62 @@ def test_connector_drops_pre_i_and_c_rows(spark, tmp_path):
         [
             "C,NEMP.WORLD,header,row",
             "D,FPP,ORPHAN,1,dropped,before,any,I,row",
+            "DUMMY,not,a,data,row",  # 'D' but not 'D,' — must drop
             "I,T,S,1,H1,H2",
             "D,T,S,1,a,b",
+            "I,short",  # malformed I row: previous block CONTINUES
+            "D,T,S,1,c,d",
             'C,"END OF REPORT",1',
         ]
     )
     (tmp_path / "x.csv").write_text(txt)
     register(spark)
     rows = spark.read.format("nemcsv").load(str(tmp_path / "x.csv")).collect()
-    assert len(rows) == 1
-    assert rows[0].table_key == "T---S---1"
-    assert rows[0].line == "D,T,S,1,a,b"
+    assert [(r.table_key, r.line) for r in rows] == [
+        ("T---S---1", "D,T,S,1,a,b"),
+        ("T---S---1", "D,T,S,1,c,d"),  # survived the short I row
+    ]
+
+
+def test_connector_matches_splitter_on_malformed_grammar(spark, tmp_path):
+    """The connector's line layer must equal the mapInPandas splitter's
+    (D-filtered) line layer on grammar edge cases — the 'exactly the
+    same intermediate' contract."""
+    txt = "\r\n".join(
+        [
+            "C,head,er",
+            "D,PRE,I,1,orphan",
+            'I,A,B,1,"H,1",H2',  # quoted header containing a comma
+            "D,A,B,1,x",
+            "I,bad",  # short -> previous block continues
+            "D,A,B,1,y",
+            "I,C,D,2,H3",
+            "D,C,D,2,z",
+        ]
+    )
+    (tmp_path / "m.csv").write_text(txt)
+    register(spark)
+    got = sorted(
+        (r.table_key, r.headers, r.line)
+        for r in spark.read.format("nemcsv").load(str(tmp_path / "m.csv")).collect()
+    )
+    from pyspark.sql import functions as F
+
+    from nemscraper_spark.sources.nemcsv import parse_files
+
+    want = sorted(
+        (r.table_key, r.headers, r.line)
+        for r in parse_files(spark, str(tmp_path / "m.csv"))
+        .filter(F.col("line").startswith("D,"))
+        .collect()
+    )
+    assert got == want
+    assert ("A---B---1", "H,1\x1fH2", "D,A,B,1,y") in got
+
+
+def test_connector_empty_dir_yields_empty_frame(spark, tmp_path):
+    (tmp_path / "notes.txt").write_text("not nem data")
+    register(spark)
+    df = spark.read.format("nemcsv").load(str(tmp_path))
+    assert df.count() == 0
+    assert df.columns == ["src_file", "table_key", "headers", "line"]
