@@ -144,6 +144,17 @@ _RECHECK_FIRST = (
     "quality_classifier_linear",  # nullif zero guards
     "multimodal_audio_energy",  # unicode code-point kernel
     "q17_small_quantity_revenue",  # r4 rewrite never driver-checked
+    # shingle-helper consumers: _shingles now delegates to the shared
+    # cached builder (identical frame, verified by driver_sim) — force
+    # one driver confirmation anyway since helper edits don't move
+    # fingerprints.
+    "minhash_lsh_pairs",
+    "minhash_containment_pairs",
+    "lsh_band_curve_report",
+    "dedup_incremental_delta",
+    "dedup_groups_lsh",
+    "dedup_cluster_components",
+    "dedup_keep_canonical",
 )
 
 

@@ -92,7 +92,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
-    return df.repartition(target)
+    out = df.repartition(target)
+    tag = getattr(df, "_sg_table_tag", None)
+    if tag is not None:
+        out._sg_table_tag = tag
+    return out
 
 
 def fan_out_sized(df: DataFrame, n_rows: int, rows_per_task: int = 1000) -> DataFrame:
@@ -198,5 +202,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # Provenance tag: certifies "this frame IS the untransformed table"
+    # so shared-lineage caches (the corpus shingle/band cache in
+    # training_data) can key on it. Any select/filter downstream
+    # returns a new DataFrame without the attribute, which disables the
+    # cache rather than ever serving a stale or mismatched frame.
+    df._sg_table_tag = (str(sf_dir), name)
+    return df

@@ -1,0 +1,371 @@
+"""Corpus-structure analytics: duplicate-graph topology, content
+novelty, mutual k-NN graphs, and posting-list skew.
+
+These are the reports a data-curation team runs AFTER the dedup /
+similarity machinery (training_data.py, corpus_ops.py, ann_twins.py)
+to understand what the corpus looks like — how clustered the duplicate
+graph is, how fast novel content decays across a crawl, how connected
+the embedding space is, and how skewed the shingle posting lists are
+(the statistic that motivates the exact-collapse step in _dup_edges).
+
+Every query is hash-gated: graph counts are exact BIGINTs, ratios are
+single divisions of exact integers, and cosines ride the FLOOR(x*1000)
+integer grid (ann_twins), so DuckDB replays each report bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nemscraper_spark.queries.ann_twins import _int_grid
+from nemscraper_spark.queries.common import (
+    fan_out,
+    load_table,
+    pairwise_cosine9,
+    register,
+)
+from nemscraper_spark.queries.training_data import (
+    _SHINGLE_SQL,
+    _lsh_md5_cand_sql,
+    _LSH_JACCARD_TAIL,
+    _shingle_frame,
+    lsh_verified_pairs_md5,
+)
+
+# ------------------------------------------------ triangle density --
+
+# Edges = the production-geometry md5-LSH verified pairs (16 perms, 4
+# bands of 4, Jaccard >= 0.2) — the same pipeline the dedup primaries
+# hash-gate, nested here as a derived-table CTE.
+_TRI_SQL = f"""
+    WITH edges AS (
+      {_lsh_md5_cand_sql(16, 4)}
+      {_LSH_JACCARD_TAIL.format(t=0.2)}
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.doc_a = e1.doc_b
+      JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (
+        SELECT doc_a AS doc_id FROM edges
+        UNION ALL
+        SELECT doc_b AS doc_id FROM edges
+      )
+      GROUP BY doc_id
+    ),
+    dagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    eagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT e.n_edges, d.n_nodes, t.n_triangles, d.n_wedges,
+           CAST(3 * t.n_triangles AS DOUBLE) / NULLIF(d.n_wedges, 0)
+             AS global_clustering
+    FROM eagg e, dagg d, tri t
+"""
+
+
+@register("dup_triangle_density", oracle=_TRI_SQL, tags=("dedup", "graph"))
+def dup_triangle_density(spark, sf_dir):
+    """Topology of the near-duplicate graph: triangle count, wedge
+    count, and the global clustering coefficient (3·triangles/wedges)
+    over the production-geometry md5-LSH verified pairs.  A dup graph
+    whose components are dense cliques (coefficient → 1) collapses
+    safely to one canonical doc per component; a stringy low-density
+    graph means transitive closure is chaining NON-duplicates through
+    borderline pairs and the Jaccard threshold is too low — this
+    report is how that call gets made before committing a keep-list.
+
+    Triangles enumerate via the oriented edge-edge join (doc_a <
+    doc_b everywhere, so each triangle counts exactly once) — the
+    standard distributed algorithm: both joins key on a doc id, never
+    a cross product, and the edge set is the (sparse) verified dup
+    pairs.  Wedges come from the degree aggregate: Σ d·(d−1)/2 over
+    nodes.  All counts exact BIGINT; the coefficient is one division."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # The downstream branches (two triangle joins + the degree
+    # aggregate) would each re-run the whole LSH pipeline through
+    # Spark's lazy lineage — persist the (sparse) edge list so it is
+    # computed once. (NOT localCheckpoint: the RDD materialization
+    # path bypasses AQE — measured 5.8 s vs 2.4 s for this pipeline.)
+    # n_edges falls out of the degree sum (Σd = 2|E|), saving one
+    # more branch. Cached-plan materialization bypasses AQE unless
+    # this conf is on (Spark default false) — without it the persist
+    # runs at the raw shuffle-partition count in a foreign driver
+    # session (measured 4.1 s vs 2.0 s warm at 200 partitions).
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+    edges = (
+        lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    e2 = edges.select(
+        F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_c")
+    )
+    e3 = edges.select(
+        F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_c")
+    )
+    tri = (
+        edges.join(e2, "doc_b")
+        .join(e3, ["doc_a", "doc_c"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("d"))
+    )
+    dagg = deg.agg(
+        F.expr("CAST(SUM(d) div 2 AS BIGINT)").alias("n_edges"),
+        F.count("*").alias("n_nodes"),
+        F.expr("CAST(SUM(d * (d - 1)) div 2 AS BIGINT)").alias("n_wedges"),
+    )
+    return dagg.crossJoin(F.broadcast(tri)).select(
+        "n_edges",
+        "n_nodes",
+        "n_triangles",
+        "n_wedges",
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.nullif(F.col("n_wedges"), F.lit(0).cast("long"))
+        ).alias("global_clustering"),
+    )
+
+
+# -------------------------------------------------- novelty decay --
+
+_NOVELTY_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh s JOIN firsts f ON f.shingle = s.shingle
+      GROUP BY s.doc_id
+    ),
+    mx AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS m FROM documents)
+    SELECT CAST(CAST(p.doc_id AS BIGINT) * 10 // mx.m AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           CAST(SUM(n_novel) AS DOUBLE) / SUM(n_sh) AS novelty_ratio
+    FROM per_doc p, mx
+    GROUP BY 1, mx.m
+"""
+
+
+@register("ngram_novelty_curve", oracle=_NOVELTY_SQL, tags=("quality",))
+def ngram_novelty_curve(spark, sf_dir):
+    """Novelty-decay curve of a crawl: per doc-id decile, the fraction
+    of word-3-gram shingles first seen in that doc (MIN(doc_id) over
+    the corpus assigns each shingle to its earliest document).  As a
+    crawl matures this curve collapses — most new pages re-say what the
+    corpus already holds — and the knee is where continued crawling
+    stops buying training signal; the same statistic ranks SOURCES by
+    marginal value when computed per feed.
+
+    One shuffle keyed by shingle for the first-occurrence aggregate
+    (map-side combinable MIN), one equi-join back (hot boilerplate
+    shingles are AQE skew-splittable), one doc-keyed aggregate, and the
+    decile rollup is 10 rows.  Ratios are single divisions of exact
+    BIGINT counts."""
+    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    mx = (
+        load_table(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") + 1).cast("long").alias("m"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr("CAST(CAST(doc_id AS BIGINT) * 10 div m AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            (
+                F.sum("n_novel").cast("double") / F.sum("n_sh")
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+# ----------------------------------------------- mutual k-NN graph --
+
+_KNN_SUBSET = 256  # bounded batch: constant work at every sf
+_KNN_K = 5
+
+_MUTUAL_KNN_SQL = f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> FLOOR(x * 1000)) AS e
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, e, list_dot_product(e, e) AS nrm
+      FROM iv
+      WHERE vec_id < {_KNN_SUBSET} AND list_dot_product(e, e) > 0
+    ),
+    pr AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_dot_product(a.e, b.e)
+                   / (sqrt(a.nrm) * sqrt(b.nrm)), 9) AS cosine
+      FROM sub a JOIN sub b ON b.vec_id <> a.vec_id
+    ),
+    rk AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rk
+      FROM pr
+    ),
+    knn AS (SELECT * FROM rk WHERE rk <= {_KNN_K})
+    SELECT x.src, x.dst, x.cosine,
+           x.rk AS rk_ab, y.rk AS rk_ba
+    FROM knn x
+    JOIN knn y ON y.src = x.dst AND y.dst = x.src
+    WHERE x.src < x.dst
+"""
+
+
+@register("mutual_knn_graph", oracle=_MUTUAL_KNN_SQL, tags=("similarity",))
+def mutual_knn_graph(spark, sf_dir):
+    """Mutual k-NN graph over a bounded embedding batch: edges where
+    BOTH endpoints rank the other in their top-5 by cosine — the
+    symmetrized graph density-based clustering and SemDeDup-style
+    outlier pruning build on (a vector none of whose neighbours
+    reciprocate is an outlier; a mutual clique is a semantic cluster).
+    Reported per edge with both ranks, so the asymmetry (rk_ab vs
+    rk_ba) is visible.
+
+    Exact integer-grid cosine (ann_twins' FLOOR(x*1000) grid) makes
+    every dot a bigint and the final round-9 cosine deterministic, so
+    the whole graph hash-matches DuckDB.  The batch is fixed at
+    256 vectors — constant work at any corpus size; at
+    production scale per-node candidate lists come from the ANN
+    family's LSH/IVF bucketing and this query pins the downstream
+    mutual-filter logic exactly.  Zero-norm vectors are dropped on
+    both sides (divide-by-zero diverges across engines)."""
+    e = _int_grid(spark, sf_dir)
+    # Zero-norm filter via a HOF (cheap on 256 rows); the pair cosines
+    # run through the shared Arrow kernel — a flat 64-term JVM dot
+    # would be bit-identical but costs seconds of janino recompilation
+    # per invocation (see pairwise_cosine9's rationale). Integer grid
+    # values are exact in float64, so the numpy accumulate is
+    # order-free and matches DuckDB's list_dot_product.
+    sub = e.filter(F.col("vec_id") < _KNN_SUBSET).filter(
+        F.expr("aggregate(e, 0L, (acc, x) -> acc + x * x) > 0")
+    )
+    a = sub.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    b = sub.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    pr = pairwise_cosine9(
+        F.broadcast(a).join(b, F.col("query_id") != F.col("neighbor_id"))
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    knn = pr.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    back = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.col("rk").alias("rk_ba"),
+    )
+    return (
+        knn.join(back, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cosine", F.col("rk").alias("rk_ab"), "rk_ba")
+    )
+
+
+# ---------------------------------------- posting-list skew report --
+
+# Shared log2 document-frequency bucket: an unrolled integer CASE, the
+# identical literal expression on both engines (float LOG2 rounds
+# differently at exact powers of two — the length_bucket lesson).
+_DF_BUCKET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN df >= {1 << b} THEN {b}" for b in range(20, 0, -1)
+    )
+    + " ELSE 0 END"
+)
+
+_DF_HIST_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    ),
+    tot AS (SELECT CAST(SUM(df) AS BIGINT) AS postings FROM dfreq)
+    SELECT CAST({_DF_BUCKET_CASE} AS BIGINT) AS df_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(df) AS DOUBLE) / t.postings AS posting_share
+    FROM dfreq, tot t
+    GROUP BY 1, t.postings
+"""
+
+
+@register("shingle_df_histogram", oracle=_DF_HIST_SQL, tags=("dedup",))
+def shingle_df_histogram(spark, sf_dir):
+    """Posting-list skew of the shingle inverted index: shingles
+    bucketed by log2(document frequency), with each bucket's share of
+    total postings.  This is the statistic that decides the dedup
+    plan: a heavy top bucket means boilerplate shingles whose posting
+    lists square under a naive self-join — the measured motivation for
+    _dup_edges' exact-collapse step and for AQE skew-join on the
+    inverted index.  Run per source, it also flags template-heavy
+    feeds before they hit the join.
+
+    One map-side-combinable groupBy(shingle) and a 20-row rollup; the
+    bucket is an unrolled integer CASE (identical literal expression
+    in both engines — float LOG2 disagrees at exact powers of two).
+    Share is a single division of exact BIGINTs."""
+    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    tot = dfreq.agg(F.sum("df").cast("long").alias("postings"))
+    return (
+        dfreq.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(f"CAST({_DF_BUCKET_CASE} AS BIGINT)").alias("df_bucket"),
+            "postings",
+        )
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            (F.sum("df").cast("double") / F.col("postings")).alias(
+                "posting_share"
+            ),
+        )
+        .drop("postings")
+    )

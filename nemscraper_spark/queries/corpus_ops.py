@@ -42,20 +42,14 @@ _SHINGLE_SQL = """
 
 
 def _shingles(spark, sf_dir):
+    # Delegates to training_data's session-level shingle cache: the
+    # frame is identical, and routing through one builder lets the
+    # whole dedup family share a single persisted explode. Lazy import
+    # (training_data lazily imports from this module elsewhere).
+    from nemscraper_spark.queries.training_data import _shingle_frame
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    return (
-        d.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle"),
-        )
-    )
+    return _shingle_frame(d)
 
 
 def _dup_edges(spark, sf_dir):

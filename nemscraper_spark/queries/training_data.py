@@ -103,19 +103,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
     2^18 distinct shingles ~1e-9, negligible next to float
     tolerances)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = (
-        d.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle_str"),
-        )
-        .select("doc_id", F.xxhash64("shingle_str").alias("shingle"))
+    sh = _shingle_frame(d).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -167,19 +156,7 @@ def minhash_signatures_md5(spark, sf_dir):
     8-way min-agg: partial aggregation absorbs the shingle fan-out
     map-side, nothing shuffles but (doc_id, 8 hashes)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = (
-        d.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle"),
-        )
-    )
+    sh = _shingle_frame(d)
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
@@ -383,10 +360,46 @@ def lsh_band_curve_report(spark, sf_dir):
     return functools.reduce(lambda a, b: a.unionByName(b), arms)
 
 
+# Cross-QUERY stage reuse for the dedup/LSH family: ~8 registered
+# queries each rebuild the identical full-corpus shingle explode (and
+# several the identical 16-way min-agg banding on top). OFF BY DEFAULT:
+# measured at sf0.1 (quiet box, 12-query family suite), the persisted
+# variant ran 47.4 s vs 41.3 s without — at 260k shingle rows the
+# persist barrier + InMemoryTableScan overhead costs more than the
+# recompute it saves, because the explode otherwise fuses into the
+# min-agg under whole-stage codegen (same conclusion as the NOTE in
+# lsh_verified_pairs, now measured cross-query too). At real corpus
+# scale the explode dominates and the trade flips, so the machinery
+# ships behind SPARK_GRAFT_FAMILY_CACHE=1 for cluster deployments.
+# Keys include applicationId (a string, never a stopped context) so a
+# fresh session can never read frames from a dead one; the
+# _sg_table_tag provenance check guarantees the cached frame is
+# bit-equal to what the caller would have built.
+_SHINGLE_CACHE: dict[tuple[str, str], object] = {}
+_BANDS_CACHE: dict[tuple[str, str, int, int], object] = {}
+
+
+def _family_cache_on() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_FAMILY_CACHE") == "1"
+
+
 def _shingle_frame(d):
     """(doc_id, text) → exploded distinct word-3-gram rows — the
-    Spark twin of _SHINGLE_SQL, shared by every md5-LSH pipeline."""
-    return (
+    Spark twin of _SHINGLE_SQL, shared by every md5-LSH pipeline.
+    With SPARK_GRAFT_FAMILY_CACHE=1 and ``d`` carrying the load_table
+    provenance tag for the documents table, the result is persisted
+    and reused across every query in the session touching the same
+    (sf_dir) corpus (see the cache-default note above)."""
+    tag = getattr(d, "_sg_table_tag", None)
+    key = None
+    if tag is not None and tag[1] == "documents" and _family_cache_on():
+        key = (d.sparkSession.sparkContext.applicationId, tag[0])
+        hit = _SHINGLE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    sh = (
         d.withColumn("w", F.split("text", " "))
         .filter(F.size("w") >= 3)
         .select(
@@ -399,20 +412,34 @@ def _shingle_frame(d):
             ).alias("shingle"),
         )
     )
+    if key is not None:
+        sh = sh.persist()
+        sh._sg_shingle_key = key
+        _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 def _md5_bands_frame(sh, n_perm: int, band_size: int):
     """Shingle rows → (doc_id, band, bucket) band rows at the given
     geometry — the Spark twin of _lsh_md5_bands_only_sql, shared by
     lsh_candidate_sets_md5 and dedup_incremental_delta so a geometry
-    or shingle fix lands everywhere at once."""
+    or shingle fix lands everywhere at once. Cached per
+    (session, sf_dir, geometry) when ``sh`` came out of the shingle
+    cache (opt-in, see the cache-default note above)."""
+    skey = getattr(sh, "_sg_shingle_key", None)
+    key = None
+    if skey is not None:
+        key = (*skey, n_perm, band_size)
+        hit = _BANDS_CACHE.get(key)
+        if hit is not None:
+            return hit
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
             for i in range(n_perm)
         ]
     )
-    return mins.select(
+    bands = mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -431,6 +458,10 @@ def _md5_bands_frame(sh, n_perm: int, band_size: int):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if key is not None:
+        bands = bands.persist()
+        _BANDS_CACHE[key] = bands
+    return bands
 
 
 def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
@@ -2206,19 +2237,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     all-pairs product. A matching-sig pair shares its argmin shingle,
     so the inner join to the exact side loses no candidate."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = (
-        d.withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle"),
-        )
-    )
+    sh = _shingle_frame(d)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
