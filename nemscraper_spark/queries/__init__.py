@@ -28,5 +28,6 @@ from nemscraper_spark.queries import corpus_extra  # noqa: E402,F401
 from nemscraper_spark.queries import graph_ops  # noqa: E402,F401
 from nemscraper_spark.queries import tpch_extra  # noqa: E402,F401
 from nemscraper_spark.queries import corpus_graph  # noqa: E402,F401
+from nemscraper_spark.queries import spark4_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "load_table", "register"]

@@ -369,3 +369,58 @@ def shingle_df_histogram(spark, sf_dir):
         )
         .drop("postings")
     )
+
+
+# ------------------------------------- cross-doc duplication share --
+
+_CROSS_DUP_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfreq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_frac
+    FROM sh s JOIN dfreq d ON d.shingle = s.shingle
+    GROUP BY s.doc_id
+"""
+
+
+@register("doc_cross_dup_fraction", oracle=_CROSS_DUP_SQL, tags=("dedup", "quality"))
+def doc_cross_dup_fraction(spark, sf_dir):
+    """Per-document CROSS-corpus duplication share: the fraction of a
+    doc's distinct word-3-gram shingles that appear in at least one
+    OTHER document.  This is the document-level scalar behind
+    ExactSubstr-style span dedup (dup_passage_spans finds WHERE the
+    overlap lives; this scores HOW MUCH of each doc is secondhand) and
+    the standard "mostly-duplicated page" drop rule: filter
+    shared_frac >= 0.8 before any pairwise machinery runs, removing
+    mirror/template pages for the cost of one aggregate + one
+    equi-join.  Complements doc_repetition_score (INTRA-doc repetition)
+    — a page can be internally pristine yet 100% copied.
+
+    Same plan skeleton as ngram_novelty_curve: shingle-keyed
+    document-frequency aggregate (map-side-combinable COUNT), equi-join
+    back on shingle (AQE skew-splittable for boilerplate shingles),
+    doc-keyed rollup.  Shingles are distinct per doc, so df >= 2 is
+    exactly "appears in >= 2 distinct docs" with no COUNT(DISTINCT).
+    Counts exact BIGINTs; the fraction is a single division."""
+    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            (
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("shared_frac"),
+        )
+    )

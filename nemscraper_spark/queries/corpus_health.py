@@ -874,3 +874,143 @@ def token_budget_cut_per_source(spark, sf_dir):
         )
         .filter(F.col("cum_chars") <= 2000)
     )
+
+
+# ------------------------------------------------- distribution drift --
+
+_KS_SQL = """
+    WITH counts AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT n_chars AS v FROM documents),
+    srcs AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY source
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    gcum AS (
+      SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cg
+      FROM (SELECT v, SUM(c) AS cv FROM counts GROUP BY v)
+    ),
+    cells AS (
+      SELECT s.source, g.v, s.n_s,
+             CAST(SUM(COALESCE(c.c, 0))
+                  OVER (PARTITION BY s.source ORDER BY g.v) AS BIGINT) AS cs
+      FROM srcs s
+      CROSS JOIN grid g
+      LEFT JOIN counts c ON c.source = s.source AND c.v = g.v
+    ),
+    diffs AS (
+      SELECT cells.source, cells.v, cells.n_s,
+             t.n - cells.n_s AS n_rest,
+             ABS(CAST(cs AS DOUBLE) / cells.n_s
+                 - CAST(gc.cg - cs AS DOUBLE) / (t.n - cells.n_s)) AS diff
+      FROM cells
+      JOIN gcum gc ON gc.v = cells.v
+      CROSS JOIN tot t
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_source,
+           CAST(n_rest AS BIGINT) AS n_rest,
+           diff AS ks_stat,
+           CAST(v AS BIGINT) AS ks_at_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY diff DESC, v
+      ) AS rn FROM diffs
+    )
+    WHERE rn = 1
+"""
+
+
+@register("ks_drift_by_source", oracle=_KS_SQL, tags=("quality", "drift"))
+def ks_drift_by_source(spark, sf_dir):
+    """EXACT two-sample Kolmogorov–Smirnov drift per source: for each
+    source, the KS statistic between its doc-length (n_chars)
+    distribution and the rest of the corpus, plus the length where the
+    CDF gap peaks.  This is the distribution-drift monitor a corpus
+    pipeline runs on every new snapshot/feed — a source whose KS jumps
+    changed its content shape (truncation bug, template change, new
+    crawler) long before averages move.  The same plan drifts ANY
+    numeric column (token counts, quality scores) by swapping the
+    projection.
+
+    Exactness: the empirical CDFs are cumulative BIGINT counts divided
+    once into doubles; diff/ABS/MAX over those doubles is IEEE-
+    deterministic, and the arg-max row is picked by ROW_NUMBER with a
+    total tie-break (diff desc, value asc), so DuckDB replays the
+    report bit-for-bit — no KS p-value approximation enters the plan.
+
+    Scale: per-(source, value) counts partial-aggregate map-side; the
+    evaluation lattice is sources × DISTINCT VALUES (bounded by the
+    value domain, not row count — bucket the value first when drifting
+    an unbounded domain).  The one global window (corpus CDF) orders
+    the bounded value GRID, not rows.  No all-pairs source comparison:
+    each source tests against the corpus complement, so adding a
+    source adds one lattice slice."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    # every downstream branch derives from `counts`, so the one
+    # (source, v) exchange is the shared trunk AQE can reuse: srcs and
+    # gcum re-aggregate it, the value grid is gcum's key set, and the
+    # corpus total folds srcs — documents is SCANNED ONCE.
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    tot = srcs.agg(F.sum("n_s").cast("long").alias("n"))
+    gcum = (
+        counts.groupBy("v")
+        .agg(F.sum("c").alias("cv"))
+        .select(
+            "v",
+            F.sum("cv")
+            .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cg"),
+        )
+    )
+    grid = gcum.select("v")
+    cells = (
+        srcs.crossJoin(grid)
+        .join(counts, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            "n_s",
+            F.sum(F.coalesce("c", F.lit(0)))
+            .over(
+                Window.partitionBy("source")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("long")
+            .alias("cs"),
+        )
+    )
+    diffs = (
+        cells.join(gcum, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "v",
+            "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_rest"),
+            F.abs(
+                F.col("cs").cast("double") / F.col("n_s")
+                - (F.col("cg") - F.col("cs")).cast("double")
+                / (F.col("n") - F.col("n_s"))
+            ).alias("diff"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("diff"), "v")
+    return (
+        diffs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("n_s").alias("n_source"),
+            F.col("n_rest").cast("long").alias("n_rest"),
+            F.col("diff").alias("ks_stat"),
+            F.col("v").cast("long").alias("ks_at_value"),
+        )
+    )

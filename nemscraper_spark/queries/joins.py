@@ -387,3 +387,64 @@ def q5_local_supplier_volume(spark, sf_dir):
         .agg(dec_sum(revenue, 6).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
+
+
+@register(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ),
+    f AS (
+      SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_closed
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT COALESCE(o.d, f.d) AS order_date,
+           COALESCE(n_open, CAST(0 AS BIGINT)) AS n_open,
+           COALESCE(n_closed, CAST(0 AS BIGINT)) AS n_closed,
+           CASE WHEN o.d IS NULL THEN 'closed_only'
+                WHEN f.d IS NULL THEN 'open_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN f ON f.d = o.d
+    """,
+    tags=("J8", "full-outer"),
+)
+def join_full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER join — the reconciliation shape (the one join type
+    the registry hadn't pinned): per-day open-order counts vs per-day
+    closed-order counts, keeping days present on EITHER side and
+    tagging which.  This is the expected-vs-actual audit every
+    ingest/finance pipeline runs (ledger A vs ledger B by key, nulls =
+    discrepancies to investigate) — semantically the union of the left-
+    and right-anti results stacked on the inner match, in one shuffle.
+
+    Both inputs aggregate BEFORE the join (days, not raw orders, meet
+    the full-outer operator), so the outer join's key space is bounded
+    by the calendar — at 100 TB the shuffled sides are day-counts, and
+    AQE broadcasts whichever reduction lands under threshold.  Counts
+    exact BIGINTs; COALESCE defaults only the measure columns, never
+    the join key."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_orderdate").alias("d_o"))
+        .agg(F.count("*").alias("n_open"))
+    )
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderdate").alias("d_f"))
+        .agg(F.count("*").alias("n_closed"))
+    )
+    return (
+        o.join(f, o.d_o == f.d_f, "full_outer")
+        .select(
+            F.coalesce("d_o", "d_f").alias("order_date"),
+            F.coalesce("n_open", F.lit(0).cast("long")).alias("n_open"),
+            F.coalesce("n_closed", F.lit(0).cast("long")).alias("n_closed"),
+            F.when(F.col("d_o").isNull(), "closed_only")
+            .when(F.col("d_f").isNull(), "open_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+    )
