@@ -631,3 +631,57 @@ def test_recall_report_bnlj_is_bounded_broadcast(spark, sf_dir):
     # formatted plans print each operator twice (tree line + detail
     # block); count the numbered detail blocks
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+
+
+def test_variant_extraction_stays_jvm_side(spark, sf_dir):
+    """VARIANT parse + typed probes must compile to JVM expressions —
+    no Python eval node — and the scan must prune to the two touched
+    columns (the parse-once/extract-many promise is worthless if the
+    scan drags the whole row in)."""
+    p = plan(REGISTRY["variant_shred_props"].fn(spark, sf_dir))
+    assert "EvalPython" not in p  # no BatchEvalPython/ArrowEvalPython
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "props" in read_schema and "event_type" in read_schema
+    assert "user_id" not in read_schema and "value" not in read_schema
+
+
+def test_udtf_is_arrow_and_topk_avoids_global_sort(spark, sf_dir):
+    """The UDTF must run through the Arrow evaluator (one columnar
+    batch per Python round trip, not row pickling), and the final
+    top-50 must be TakeOrderedAndProject, never a global sort."""
+    p = plan(REGISTRY["udtf_ngram_explode"].fn(spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_full_outer_joins_aggregates_not_rows(spark, sf_dir):
+    """Both full-outer inputs must aggregate BEFORE the join (the
+    operator meets day-counts, not raw orders) and the status filters
+    must reach the scans."""
+    import re
+
+    p = plan(REGISTRY["join_full_outer_reconcile"].fn(spark, sf_dir))
+    assert "Join type: FullOuter" in p
+    # tree section: the SortMergeJoin's children are the two two-phase
+    # aggregates — every HashAggregate hangs BELOW the join node
+    tree = p.split("(1) Scan parquet")[0].splitlines()
+    join_depth = next(
+        l.index("SortMergeJoin") for l in tree if "SortMergeJoin" in l
+    )
+    agg_depths = [
+        l.index("HashAggregate") for l in tree if "HashAggregate" in l
+    ]
+    assert len(agg_depths) >= 4  # partial+final on each side
+    assert all(d > join_depth for d in agg_depths)
+    assert len(re.findall(r"EqualTo\(o_orderstatus", p)) == 2  # pushed
+
+
+def test_ks_drift_windows_are_bounded_and_no_cartesian(spark, sf_dir):
+    """The KS lattice must be built by broadcast joins (sources x
+    value grid — both aggregates, never raw rows) with no
+    CartesianProduct, and the arg-max must compile to WindowGroupLimit
+    (rank-1 filter pushed into the window, no full per-source sort
+    materialization)."""
+    p = plan(REGISTRY["ks_drift_by_source"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
