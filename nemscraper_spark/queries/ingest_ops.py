@@ -133,6 +133,70 @@ def nem_datasource_scan(spark, sf_dir):
 
 
 @register(
+    "nem_datasource_stream",
+    oracle=_ORACLE_D_COUNTS
+    + """
+    SELECT table_key, CAST(2 * d AS BIGINT) AS n_rows FROM counts
+    """,
+    tags=("S2", "S4", "streaming"),
+)
+def nem_datasource_stream(spark, sf_dir):
+    """S2 (the feed POLL LOOP) as a Structured Streaming source: the
+    nemcsv connector's stream reader (sources/nemsource.py
+    `_NemStreamReader`) tracks the last consumed filename as its
+    offset, so each microbatch ingests exactly the files that arrived
+    since the previous one — the reference's list-download-re-list
+    cycle (main.rs:286-307) with Spark owning scheduling, retries and
+    exactly-once bookkeeping via the checkpoint.
+
+    The query stages one NEM ZIP, drains it, lands a SECOND ZIP while
+    the stream is live (the poll-loop case), drains again, and returns
+    per-table D-row counts — which must equal exactly 2x the fixture's
+    D-lines: each file consumed once, none reprocessed, none missed.
+    The DuckDB oracle recounts the raw fixture bytes independently."""
+    tmp = tempfile.mkdtemp(prefix="nem_ds_stream_")
+    landing = os.path.join(tmp, "landing")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(landing)
+    with zipfile.ZipFile(
+        os.path.join(landing, "PUBLIC_DISPATCHIS_20220720_0001.zip"), "w"
+    ) as zf:
+        zf.writestr("PUBLIC_DISPATCHIS_202207201800.CSV", _NEM_CSV)
+
+    from nemscraper_spark.sources.nemsource import register as _reg_ds
+
+    _reg_ds(spark)
+    q = (
+        spark.readStream.format("nemcsv")
+        .load(landing)
+        .writeStream.format("memory")
+        .queryName("nemspark_nem_ds_stream")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with zipfile.ZipFile(
+            os.path.join(landing, "PUBLIC_DISPATCHIS_20220721_0001.zip"), "w"
+        ) as zf:
+            zf.writestr("PUBLIC_DISPATCHIS_202207211800.CSV", _NEM_CSV)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = (
+        spark.table("nemspark_nem_ds_stream")
+        .groupBy("table_key")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.table_key, r.n_rows) for r in counts],
+        "table_key string, n_rows long",
+    )
+
+
+@register(
     "nem_ingest_conservation",
     oracle=_ORACLE_D_COUNTS
     + """

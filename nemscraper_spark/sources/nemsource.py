@@ -37,6 +37,7 @@ def nem_csv_data_source():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 
@@ -45,6 +46,77 @@ def nem_csv_data_source():
             self.path = path
             self.member = member
 
+    def _list_files(path):
+        """Driver-side listing only (cheap metadata), sorted by name —
+        the NEM feed contract is monotone timestamped filenames, the
+        same order the reference's poll loop consumes (main.rs:286-307)."""
+        import os
+
+        if os.path.isdir(path):
+            files = []
+            for root, _dirs, names in os.walk(path):
+                files.extend(os.path.join(root, n) for n in names)
+            return sorted(files)
+        return [path]
+
+    def _expand_parts(files):
+        """One partition per ZIP member / raw CSV — the unit the
+        reference's per-file worker pool schedules (main.rs:208-239)."""
+        import zipfile
+
+        parts = []
+        for f in files:
+            low = f.lower()
+            if low.endswith(".zip"):
+                with zipfile.ZipFile(f) as zf:
+                    for m in sorted(zf.namelist()):
+                        if m.lower().endswith(".csv"):
+                            parts.append(_NemPart(f, m))
+            elif low.endswith(".csv"):
+                parts.append(_NemPart(f, None))
+        return parts
+
+    def _read_part(partition):
+        # Executor-side: stream one member's lines through the
+        # I/D grammar, EXACTLY as sources/nemcsv.py's splitter does
+        # (split.rs:64-125): an "I," row with >= 5 csv fields opens
+        # a block (table_key = fields 1-3 joined "---", headers =
+        # the remaining fields, csv-parsed so quoting round-trips);
+        # a malformed/short I row keeps the CURRENT block open
+        # (csv_batch_processor.rs:72-74 state-machine semantics);
+        # "D," rows belong to the current block; C rows, pre-I
+        # rows, and non-"D," lines drop.
+        import csv as _csv
+        import io
+        import os
+        import zipfile
+
+        if partition is None:  # empty scan (no matching files)
+            return
+
+        if partition.member is not None:
+            with zipfile.ZipFile(partition.path) as zf:
+                raw = zf.read(partition.member)
+            src = os.path.basename(partition.member)
+        else:
+            with open(partition.path, "rb") as fh:
+                raw = fh.read()
+            src = os.path.basename(partition.path)
+
+        table_key = None
+        headers = None
+        sep = "\x1f"  # matches nemcsv._HDR_SEP
+        for line in io.StringIO(raw.decode("utf-8", "replace")):
+            line = line.rstrip("\r\n")
+            if line.startswith("I,"):
+                row = next(_csv.reader([line]), None)
+                if row and len(row) >= 5:
+                    table_key = "---".join(row[1:4])
+                    headers = sep.join(row[4:])
+                # else: previous block continues
+            elif line.startswith("D,") and table_key is not None:
+                yield (src, table_key, headers, line)
+
     class _NemReader(DataSourceReader):
         def __init__(self, options):
             self._path = options.get("path")
@@ -52,28 +124,9 @@ def nem_csv_data_source():
                 raise ValueError("nemcsv: .load(path) is required")
 
         def partitions(self):
-            # Driver-side listing only (cheap metadata): one partition
-            # per ZIP member / raw CSV, the same unit the reference's
-            # per-file worker pool uses (main.rs:208-239).
             import os
-            import zipfile
 
-            files = []
-            if os.path.isdir(self._path):
-                for root, _dirs, names in os.walk(self._path):
-                    files.extend(os.path.join(root, n) for n in sorted(names))
-            else:
-                files.append(self._path)
-            parts = []
-            for f in files:
-                low = f.lower()
-                if low.endswith(".zip"):
-                    with zipfile.ZipFile(f) as zf:
-                        for m in sorted(zf.namelist()):
-                            if m.lower().endswith(".csv"):
-                                parts.append(_NemPart(f, m))
-                elif low.endswith(".csv"):
-                    parts.append(_NemPart(f, None))
+            parts = _expand_parts(_list_files(self._path))
             # no matching files (e.g. an empty landing dir) -> empty
             # scan, like any file source; a single non-matching FILE
             # path still reads as raw CSV text (caller asked for it)
@@ -82,45 +135,49 @@ def nem_csv_data_source():
             return parts
 
         def read(self, partition):
-            # Executor-side: stream one member's lines through the
-            # I/D grammar, EXACTLY as sources/nemcsv.py's splitter does
-            # (split.rs:64-125): an "I," row with >= 5 csv fields opens
-            # a block (table_key = fields 1-3 joined "---", headers =
-            # the remaining fields, csv-parsed so quoting round-trips);
-            # a malformed/short I row keeps the CURRENT block open
-            # (csv_batch_processor.rs:72-74 state-machine semantics);
-            # "D," rows belong to the current block; C rows, pre-I
-            # rows, and non-"D," lines drop.
-            import csv as _csv
-            import io
+            return _read_part(partition)
+
+    class _NemStreamReader(DataSourceStreamReader):
+        """The reference's continuous poll loop (main.rs:286-307 —
+        list the feed page, consume files it hasn't seen, re-list) as
+        a Structured Streaming source.  The offset is the LAST
+        CONSUMED FILENAME under the landing path: each microbatch
+        covers files lexically above the start offset up to the end
+        offset, so a file is consumed exactly once and late-arriving
+        files keep flowing batch after batch.  Correct under the NEM
+        feed contract (append-only, monotone timestamped names) —
+        the same assumption the reference's re-enqueue sweep makes.
+        Listing is driver-side metadata; the grammar work runs on
+        executors, one partition per ZIP member, exactly like the
+        batch reader."""
+
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("nemcsv: .load(path) is required")
+
+        def initialOffset(self):
+            return {"last": ""}
+
+        def latestOffset(self):
+            files = _list_files(self._path)
             import os
-            import zipfile
 
-            if partition is None:  # empty scan (no matching files)
-                return
+            files = [f for f in files if os.path.isfile(f)]
+            return {"last": files[-1] if files else ""}
 
-            if partition.member is not None:
-                with zipfile.ZipFile(partition.path) as zf:
-                    raw = zf.read(partition.member)
-                src = os.path.basename(partition.member)
-            else:
-                with open(partition.path, "rb") as fh:
-                    raw = fh.read()
-                src = os.path.basename(partition.path)
+        def partitions(self, start, end):
+            lo, hi = start["last"], end["last"]
+            new = [f for f in _list_files(self._path) if lo < f <= hi]
+            return _expand_parts(new)
 
-            table_key = None
-            headers = None
-            sep = "\x1f"  # matches nemcsv._HDR_SEP
-            for line in io.StringIO(raw.decode("utf-8", "replace")):
-                line = line.rstrip("\r\n")
-                if line.startswith("I,"):
-                    row = next(_csv.reader([line]), None)
-                    if row and len(row) >= 5:
-                        table_key = "---".join(row[1:4])
-                        headers = sep.join(row[4:])
-                    # else: previous block continues
-                elif line.startswith("D,") and table_key is not None:
-                    yield (src, table_key, headers, line)
+        def read(self, partition):
+            return _read_part(partition)
+
+        def commit(self, end):
+            # Nothing to clean up: consumed files stay in the landing
+            # dir (the compactor owns retention, plans/compact.py).
+            pass
 
     class NemCsvDataSource(DataSource):
         @classmethod
@@ -135,6 +192,9 @@ def nem_csv_data_source():
 
         def reader(self, schema):
             return _NemReader(self.options)
+
+        def streamReader(self, schema):
+            return _NemStreamReader(self.options)
 
     return NemCsvDataSource
 
