@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from nemscraper_spark.queries.common import (
     dec_sum,
+    fan_out,
     load_table,
     oracle_dec_sum,
     register,
@@ -77,7 +78,11 @@ def variant_shred_props(spark, sf_dir):
     every row).  All math integer-exact, so the DuckDB ->> oracle
     hash-matches.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out: the JSON parse is the query's whole CPU bill and runs
+    # inside the scan stage — on a low-split staging layout it would
+    # serialize (measured 45x at a 20x probe whose 2M-row input packed
+    # into 2 partitions); on real multi-split inputs this is a no-op.
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     v = F.parse_json("props")
     shredded = ev.select(
         "event_type",

@@ -521,3 +521,98 @@ def streaming_hopping_counts(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+def _staged_outer_join_stream(spark, sf_dir):
+    """Events staged with TWO far-future sentinel rows (year 2099,
+    negative user_ids that match nothing): one plain event for the
+    left side and one with event_id % 20 == 0 so it passes the
+    forecast filter on the right side.  After the final real batch
+    both watermarks jump past every real event, and Spark's no-data
+    batch evicts the join state — emitting the NULL-padded rows a
+    LEFT OUTER stream-stream join may only release once the watermark
+    proves no match can still arrive.  Sentinels are filtered back out
+    of the result by user_id.  Shares _STAGE_CACHE memoization."""
+    ev = load_table(spark, sf_dir, "events")
+    key = (id(spark), sf_dir, "events+ojoin")
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(os.path.join(stage, "src")):
+        far = F.lit("2099-01-01 00:00:00").cast("timestamp_ntz")
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "sentinel", 0.0, None), (-20, -2, "sentinel", 0.0, None)],
+            "event_id long, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id", far.alias("ts"), "user_id", "event_type",
+            "value", "props",
+        )
+        stage = tempfile.mkdtemp(prefix="nemspark-stream-ojoin-")
+        ev.unionByName(sentinel).write.mode("overwrite").parquet(
+            os.path.join(stage, "src")
+        )
+        _STAGE_CACHE[key] = stage
+    ev_schema = ev.schema
+    stream = spark.readStream.schema(ev_schema).parquet(
+        os.path.join(stage, "src")
+    )
+    return stream.withColumn("ts_w", F.col("ts").cast("timestamp"))
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, ts AS fc_ts, value AS fc_value
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT e.event_id, e.user_id, e.ts, f.fc_ts, f.fc_value
+    FROM events e
+    LEFT JOIN fc f
+      ON e.user_id = f.user_id
+     AND f.fc_ts >= e.ts - INTERVAL '1 hour'
+     AND f.fc_ts <= e.ts
+    """,
+    tags=("streaming", "J5", "outer"),
+)
+def streaming_interval_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the attribution shape
+    that must also KEEP the unmatched events (sessions with no
+    preceding forecast).  Matched rows emit eagerly like the inner
+    join; the NULL-padded rows are held in state until the watermark
+    on BOTH sides passes the event's match window, because only then
+    has Spark proven no matching forecast can still arrive — the
+    correctness contract that makes streaming outer joins hard and the
+    reason both sides carry watermarks.  A far-future sentinel row per
+    side (see _staged_outer_join_stream) advances the final watermark
+    so the bounded AvailableNow drain flushes every pending NULL row;
+    the batch LEFT JOIN oracle then pins the complete output exactly.
+
+    State is the 1-hour horizon of both sides, independent of history
+    — the 100 TB/day property — and the sentinel trick is exactly how
+    a production backfill closes the books on a bounded replay."""
+    stream = _staged_outer_join_stream(spark, sf_dir)
+    left = stream.select(
+        "event_id", "user_id", "ts", F.col("ts_w").alias("e_ts")
+    ).withWatermark("e_ts", "1 hour")
+    right = (
+        stream.filter(F.col("event_id") % 20 == 0)
+        .select(
+            F.col("user_id").alias("fc_user"),
+            F.col("ts").alias("fc_ts"),
+            F.col("ts_w").alias("f_ts"),
+            F.col("value").alias("fc_value"),
+        )
+        .withWatermark("f_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("fc_user"))
+        & (F.col("f_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("f_ts") <= F.col("e_ts")),
+        "leftOuter",
+    ).select("event_id", "user_id", "ts", "fc_ts", "fc_value")
+    out = _run_to_memory(
+        joined, "nemspark_streaming_interval_join_outer", "append",
+        width=_state_width(spark, sf_dir),
+    )
+    return out.filter(F.col("user_id") >= 0)
