@@ -424,3 +424,115 @@ def doc_cross_dup_fraction(spark, sf_dir):
             ).alias("shared_frac"),
         )
     )
+
+
+# ------------------------------------------------- 2-core peeling --
+
+def _core_peel_sql() -> str:
+    """WITH-chain oracle for three unrolled 2-core peel rounds over
+    the md5-LSH verified-pair edge set (same edges CTE as _TRI_SQL)."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous one 3x — inlining would expand
+    # e3 into 27 copies of the whole LSH pipeline (observed: the
+    # oracle ground >12 min; materialized it is sub-second), the exact
+    # blowup localCheckpoint prevents on the Spark side.
+    ctes = [
+        f"""edges AS MATERIALIZED (
+      {_lsh_md5_cand_sql(16, 4)}
+      {_LSH_JACCARD_TAIL.format(t=0.2)}
+    )""",
+        "e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM edges)",
+    ]
+    for r in (1, 2, 3):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dg
+      FROM (SELECT doc_a AS doc_id FROM e{p}
+            UNION ALL SELECT doc_b AS doc_id FROM e{p})
+      GROUP BY doc_id
+    )"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT e.doc_a, e.doc_b
+      FROM e{p} e
+      JOIN d{r} a ON a.doc_id = e.doc_a AND a.dg >= 2
+      JOIN d{r} b ON b.doc_id = e.doc_b AND b.dg >= 2
+    )"""
+        )
+    rounds = []
+    for r in (0, 1, 2, 3):
+        rounds.append(
+            f"""SELECT CAST({r} AS BIGINT) AS peel_round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM e{r}
+                UNION ALL SELECT doc_b AS doc_id FROM e{r}))) AS n_nodes"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(rounds)
+
+
+@register("dup_graph_core_peel", oracle=_core_peel_sql(), tags=("dedup", "graph"))
+def dup_graph_core_peel(spark, sf_dir):
+    """2-core peeling trajectory of the near-dup graph: three unrolled
+    rounds of "drop degree-<2 nodes, drop their edges", reporting
+    (edges, nodes) after each round.  The 2-core is what's left after
+    all chains and pendant vertices peel away — dup CLUSTERS worth
+    canonical-collapse live there, while the peeled fringe is
+    borderline pairs that transitive closure would wrongly chain
+    (complements dup_triangle_density: that measures density, this
+    measures how much of the graph is STRUCTURE vs fringe).  A
+    stabilized trajectory (round 3 == round 2) certifies the 2-core
+    converged; like pagerank_event_graph, the fixed unroll puts the
+    whole ITERATIVE loop behind the hash gate.
+
+    Each round is one degree aggregate (map-side combinable) + two
+    semi joins on the (sparse) edge list.  Each round's edges are
+    localCheckpoint'ed — the components.py iteration pattern: every
+    round references the previous edge set THREE times (degree
+    aggregate + both semi joins), so without severing lineage the
+    logical plan grows ~4^r copies of the whole LSH pipeline and
+    Catalyst itself OOMs (observed at round 3); with it, each round
+    plans against the materialized previous round only."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cur = (
+        lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    for r in (0, 1, 2, 3):
+        if r > 0:
+            deg = (
+                cur.select(F.col("doc_a").alias("doc_id"))
+                .unionAll(cur.select(F.col("doc_b").alias("doc_id")))
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("dg"))
+            )
+            keep = deg.filter(F.col("dg") >= 2).select("doc_id")
+            cur = (
+                cur.join(
+                    keep.withColumnRenamed("doc_id", "doc_a"),
+                    "doc_a",
+                    "left_semi",
+                )
+                .join(
+                    keep.withColumnRenamed("doc_id", "doc_b"),
+                    "doc_b",
+                    "left_semi",
+                )
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=True)
+            )
+        nodes = (
+            cur.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(cur.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+            .count()
+        )
+        stats.append((r, cur.count(), nodes))
+    return spark.createDataFrame(
+        stats, "peel_round long, n_edges long, n_nodes long"
+    )

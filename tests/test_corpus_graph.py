@@ -121,3 +121,26 @@ def test_df_histogram_partitions_postings(spark, sf_dir):
         lo = 1 << r.df_bucket if r.df_bucket else 0
         assert r.n_shingles >= 1
         assert r.posting_share == r.n_postings / total
+
+
+def test_core_peel_trajectory_monotone_and_consistent(spark, sf_dir):
+    """Peeling can only shrink the graph: edges and nodes are
+    non-increasing across rounds, round 0 matches the registered
+    verified-pair query's edge count, and a stabilized round (equal
+    edge counts) must also have equal node counts."""
+    from nemscraper_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["dup_graph_core_peel"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.peel_round,
+    )
+    assert [r.peel_round for r in rows] == [0, 1, 2, 3]
+    # minhash_lsh_pairs is the 16x4 production-geometry md5 primary —
+    # the exact pipeline the peel builds its edge set from
+    n_pairs = REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).count()
+    assert rows[0].n_edges == n_pairs
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_edges <= a.n_edges
+        assert b.n_nodes <= a.n_nodes
+        if b.n_edges == a.n_edges:
+            assert b.n_nodes == a.n_nodes
