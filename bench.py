@@ -63,6 +63,12 @@ HEADLINE = (
     "dedup_incremental_delta",
     "lsh_band_curve_report",
     "semantic_dedup_keep_list",
+    # round-5 continuation surfaces
+    "streaming_interval_join_outer",
+    "nem_datasource_stream",
+    "ks_drift_by_source",
+    "dup_graph_core_peel",
+    "variant_shred_props",
 )
 
 
