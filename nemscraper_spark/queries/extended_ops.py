@@ -702,3 +702,72 @@ def conversion_latency(spark, sf_dir):
         s.join(p, "user_id", "left")
         .select("user_id", "signup_ts", "first_purchase_ts", lat.alias("latency_us"))
     )
+
+
+@register(
+    "observed_metrics_audit",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {oracle_dec_sum("l_extendedprice", 6)} AS sum_price
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS rows_scanned,
+           CAST((SELECT {oracle_dec_sum("l_extendedprice", 6)} FROM lineitem)
+                AS DOUBLE) AS total_price,
+           CAST((SELECT COUNT(*) FROM agg) AS BIGINT) AS groups_out,
+           TRUE AS conserved
+    """,
+    tags=("A1", "observe", "audit"),
+)
+def observed_metrics_audit(spark, sf_dir):
+    """Inline pipeline audit via the Observation API: metrics recorded
+    ON the rows as they stream through the aggregate's scan —
+    `df.observe(obs, count, sum)` costs no second pass and no extra
+    shuffle, unlike the audit-query-after pattern every conservation
+    check otherwise pays (the reference re-reads its parquet output to
+    verify D-row conservation, verify.rs:56-133; observe gets the same
+    number for free while the real query runs).  The query runs a
+    returnflag revenue rollup with observed (input rows, input DECIMAL
+    revenue sum), then reports observed vs aggregated totals and the
+    conservation bit: the group-sum of outputs must equal the observed
+    input total EXACTLY — both sides accumulate in the same
+    DECIMAL(25,6), so this is integer equality, not a float tolerance.
+
+    The observe node is a streaming-safe accumulator on the scan
+    stage; at 100 TB it adds one number per task, no data movement.
+    The bounded sink write that triggers collection replaces the
+    .collect() an audit would otherwise do — output stays ~4 groups."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    dec = F.col("l_extendedprice").cast("decimal(25,6)")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(dec).alias("total_price_dec"),
+    )
+    agg = observed.groupBy("l_returnflag").agg(
+        F.sum(dec).alias("sum_price_dec")
+    )
+    rows = agg.collect()  # bounded: one row per returnflag (3)
+    got = obs.get
+    # conservation compared in EXACT decimal (python Decimal sum of the
+    # collected per-group decimals) — casting to double first and
+    # float-adding would reintroduce the order-dependence dec_sum
+    # exists to remove.  The reported double is the one final cast.
+    group_total = sum(r.sum_price_dec for r in rows)
+    return spark.createDataFrame(
+        [
+            (
+                got["rows_scanned"],
+                float(got["total_price_dec"]),
+                len(rows),
+                group_total == got["total_price_dec"],
+            )
+        ],
+        "rows_scanned long, total_price double, groups_out long,"
+        " conserved boolean",
+    )
