@@ -881,3 +881,85 @@ def embedding_pca_power_iteration(spark, sf_dir):
     return spark2.createDataFrame(
         [(int(d), int(v[d])) for d in range(64)], "dim int, component bigint"
     )
+
+
+@register(
+    "embedding_sign_signature",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, i,
+             CASE WHEN embedding[i + 1] >= 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM embeddings, UNNEST(generate_series(0, 63)) AS t(i)
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN bit * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS sig_lo,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS sig_hi,
+           CAST(SUM(bit) AS BIGINT) AS n_pos
+    FROM b
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "multimodal", "arrow"),
+)
+def embedding_sign_signature(spark, sf_dir):
+    """Binarized-embedding signatures through ``mapInArrow`` — the
+    zero-copy Arrow-level kernel API (one tier below mapInPandas: raw
+    RecordBatches, no pandas conversion).  Each 64-dim vector packs
+    its SIGN BITS into two 32-bit halves (sig_lo dims 0-31, sig_hi
+    32-63) — the classic binary-hashing compaction (Charikar STOC'02
+    random-hyperplane signatures with the identity basis): 64 floats
+    become 8 bytes, and Hamming distance on the signature approximates
+    cosine, which is how billion-vector dedup prefilters before exact
+    re-rank (the simhash_near_dup_pairs pattern, applied to
+    embeddings).  n_pos (the signature popcount) rides along for
+    balance QC — a skewed popcount histogram means the basis needs
+    recentering before binarization.
+
+    The sign test is exact (no float arithmetic — only >= 0, where
+    both engines agree including -0.0), so the DuckDB bit-shift oracle
+    replays the packing bit-for-bit.  Kernel is row-local: no shuffle
+    at any corpus size; the reshape is zero-copy off the Arrow list
+    buffer."""
+    import os
+
+    from nemscraper_spark.queries.common import fan_out_sized
+    from nemscraper_spark.sources.inspect import footer_row_count
+
+    n_vecs = footer_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    e = fan_out_sized(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        n_vecs,
+    )
+
+    def _pack(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        lo_w = (np.int64(1) << np.arange(32, dtype=np.int64))
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(1)
+            m = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                batch.num_rows, 64
+            )
+            bits = (m >= 0).astype(np.int64)
+            sig_lo = (bits[:, :32] * lo_w).sum(axis=1)
+            sig_hi = (bits[:, 32:] * lo_w).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(sig_lo, type=pa.int64()),
+                    pa.array(sig_hi, type=pa.int64()),
+                    pa.array(bits.sum(axis=1), type=pa.int64()),
+                ],
+                names=["vec_id", "sig_lo", "sig_hi", "n_pos"],
+            )
+
+    return e.mapInArrow(
+        _pack, "vec_id long, sig_lo long, sig_hi long, n_pos long"
+    )

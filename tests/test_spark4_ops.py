@@ -194,3 +194,23 @@ def test_ks_drift_independent_recompute(spark, sf_dir):
         assert r.ks_stat == best[0]
         assert r.ks_at_value == best[1]
         assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_sign_signature_independent_replay(spark, sf_dir):
+    """Replay the sign-bit packing driver-side in pure Python and
+    require bit-identical signatures; n_pos must equal the popcount of
+    the packed 64-bit signature."""
+    rows = REGISTRY["embedding_sign_signature"].fn(spark, sf_dir).collect()
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert {r.vec_id for r in rows} == set(vecs)
+    for r in rows:
+        emb = vecs[r.vec_id]
+        lo = sum(1 << i for i in range(32) if emb[i] >= 0)
+        hi = sum(1 << i for i in range(32) if emb[32 + i] >= 0)
+        assert (r.sig_lo, r.sig_hi) == (lo, hi)
+        assert r.n_pos == bin((hi << 32) | lo).count("1")
