@@ -963,3 +963,100 @@ def embedding_sign_signature(spark, sf_dir):
     return e.mapInArrow(
         _pack, "vec_id long, sig_lo long, sig_hi long, n_pos long"
     )
+
+
+@register(
+    "hamming_band_prefilter_report",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, i,
+             CASE WHEN embedding[i + 1] >= 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM embeddings, UNNEST(generate_series(0, 63)) AS t(i)
+    ),
+    sigs AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN i < 32
+                           THEN bit * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN i >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM b GROUP BY vec_id
+    ),
+    bands AS MATERIALIZED (
+      SELECT vec_id, lo, hi, band,
+             CASE band
+               WHEN 0 THEN lo & 65535
+               WHEN 1 THEN (lo >> 16) & 65535
+               WHEN 2 THEN hi & 65535
+               ELSE (hi >> 16) & 65535
+             END AS bucket
+      FROM sigs, UNNEST(generate_series(0, 3)) AS g(band)
+    )
+    SELECT a.band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN bit_count(xor(a.lo, c.lo))
+                              + bit_count(xor(a.hi, c.hi)) <= 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+    FROM bands a
+    JOIN bands c
+      ON c.band = a.band AND c.bucket = a.bucket
+     AND a.vec_id < c.vec_id
+    GROUP BY a.band
+    """,
+    tags=("similarity", "dedup"),
+)
+def hamming_band_prefilter_report(spark, sf_dir):
+    """Hamming-band prefilter over the binary embedding signatures —
+    the search side of embedding_sign_signature: the 64-bit signature
+    splits into 4 x 16-bit bands; vectors colliding on any band are
+    candidates, and candidates within Hamming distance 3 verify (by
+    pigeonhole, 4 bands catch EVERY pair at distance <= 3 — the
+    simhash_near_dup_pairs guarantee, applied to binarized
+    embeddings).  Per band: candidate and verified counts — the
+    4-row tuning report that says whether the 16-bit chunk space holds
+    bucket sizes at ~n/65536 (linear join) or boilerplate signatures
+    are ganging up (time to recenter the basis, see n_pos QC).
+
+    The whole plan is JVM codegen bit arithmetic (shiftleft/and/xor/
+    bit_count) — no Python, no floats; the DuckDB oracle rebuilds the
+    signatures from raw embeddings independently, so the gate also
+    re-pins the Arrow kernel's packing through a second engine.
+    Band equi-join on (band, bucket): linear in corpus size, never
+    all-pairs; GROUP BY band is 4 keys."""
+    sigs = embedding_sign_signature(spark, sf_dir).select(
+        "vec_id", F.col("sig_lo").alias("lo"), F.col("sig_hi").alias("hi")
+    )
+    band_exprs = [
+        F.expr("lo & 65535").alias("bucket"),
+        F.expr("shiftright(lo, 16) & 65535").alias("bucket"),
+        F.expr("hi & 65535").alias("bucket"),
+        F.expr("shiftright(hi, 16) & 65535").alias("bucket"),
+    ]
+    bands = None
+    for i, bexpr in enumerate(band_exprs):
+        arm = sigs.select(
+            "vec_id", "lo", "hi", F.lit(i).cast("long").alias("band"), bexpr
+        )
+        bands = arm if bands is None else bands.unionByName(arm)
+    a = bands.alias("a")
+    c = bands.alias("c")
+    ham = F.expr(
+        "bit_count(a.lo ^ c.lo) + bit_count(a.hi ^ c.hi)"
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(ham <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_verified"),
+        )
+    )

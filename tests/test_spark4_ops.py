@@ -214,3 +214,38 @@ def test_sign_signature_independent_replay(spark, sf_dir):
         hi = sum(1 << i for i in range(32) if emb[32 + i] >= 0)
         assert (r.sig_lo, r.sig_hi) == (lo, hi)
         assert r.n_pos == bin((hi << 32) | lo).count("1")
+
+
+def test_hamming_prefilter_pigeonhole_complete(spark, sf_dir):
+    """Every pair at Hamming distance <= 3 must collide on >= 1 of the
+    4 bands (pigeonhole), and each band's verified count must equal the
+    exact per-band recount from the raw signatures."""
+    sig_rows = REGISTRY["embedding_sign_signature"].fn(spark, sf_dir).collect()
+    sigs = {r.vec_id: (r.sig_hi << 32) | r.sig_lo for r in sig_rows}
+    ids = sorted(sigs)
+
+    def band_vals(s):
+        return [(s >> (16 * b)) & 0xFFFF for b in range(4)]
+
+    per_band = {b: [0, 0] for b in range(4)}  # candidates, verified
+    for i, u in enumerate(ids):
+        for v in ids[i + 1 :]:
+            ham = bin(sigs[u] ^ sigs[v]).count("1")
+            bu, bv = band_vals(sigs[u]), band_vals(sigs[v])
+            collides = [b for b in range(4) if bu[b] == bv[b]]
+            if ham <= 3:
+                assert collides, f"pair ({u},{v}) at hamming {ham} missed"
+            for b in collides:
+                per_band[b][0] += 1
+                if ham <= 3:
+                    per_band[b][1] += 1
+    got = {
+        r.band: (r.n_candidates, r.n_verified)
+        for r in REGISTRY["hamming_band_prefilter_report"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        b: (c, v) for b, (c, v) in per_band.items() if c > 0
+    }
+    assert got == want
