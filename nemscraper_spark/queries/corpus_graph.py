@@ -497,11 +497,21 @@ def dup_graph_core_peel(spark, sf_dir):
     Catalyst itself OOMs (observed at round 3); with it, each round
     plans against the materialized previous round only."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
+
+    def _ckpt_id(df):
+        # the RDD a localCheckpoint persists (components.py pattern);
+        # None on unknown plan shape = leak the blocks, never guess
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None
+
     cur = (
         lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+    ckpt_ids = [_ckpt_id(cur)]
     stats = []
     for r in (0, 1, 2, 3):
         if r > 0:
@@ -526,6 +536,7 @@ def dup_graph_core_peel(spark, sf_dir):
                 .select("doc_a", "doc_b")
                 .localCheckpoint(eager=True)
             )
+            ckpt_ids.append(_ckpt_id(cur))
         nodes = (
             cur.select(F.col("doc_a").alias("doc_id"))
             .unionAll(cur.select(F.col("doc_b").alias("doc_id")))
@@ -533,6 +544,15 @@ def dup_graph_core_peel(spark, sf_dir):
             .count()
         )
         stats.append((r, cur.count(), nodes))
+    # the result is a driver-built frame — nothing downstream reads the
+    # checkpointed edge sets, so free ALL their blocks now (otherwise a
+    # long-lived session accumulates 4 edge-set copies per invocation)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ckpt_ids:
+        if rid is not None:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
     return spark.createDataFrame(
         stats, "peel_round long, n_edges long, n_nodes long"
     )

@@ -149,7 +149,16 @@ def nem_csv_data_source():
         the same assumption the reference's re-enqueue sweep makes.
         Listing is driver-side metadata; the grammar work runs on
         executors, one partition per ZIP member, exactly like the
-        batch reader."""
+        batch reader.
+
+        Known limitation (documented, matches the feed contract): the
+        offset stores only the boundary NAME, so a checkpoint replay
+        re-derives the batch's file list from the live directory —
+        files deleted or renamed inside a replayed range would change
+        the replay (Spark's own FileStreamSource logs the per-batch
+        file list to be replay-exact under mutation).  NEM landing
+        dirs are append-only until the compactor's retention runs, so
+        the name-range offset is sufficient and far smaller."""
 
         def __init__(self, options):
             self._path = options.get("path")
