@@ -908,6 +908,7 @@ _KS_SQL = """
       FROM cells
       JOIN gcum gc ON gc.v = cells.v
       CROSS JOIN tot t
+      WHERE t.n > cells.n_s  -- a sole source has no complement to drift against
     )
     SELECT source,
            CAST(n_s AS BIGINT) AS n_source,
@@ -990,6 +991,10 @@ def ks_drift_by_source(spark, sf_dir):
     diffs = (
         cells.join(gcum, "v")
         .crossJoin(F.broadcast(tot))
+        # a source that IS the whole corpus has no complement: its
+        # 0/0 CDF would be NaN and NaN ordering differs — drop it on
+        # both sides rather than hash-gamble on degenerate rows
+        .filter(F.col("n") > F.col("n_s"))
         .select(
             "source",
             "v",
