@@ -685,3 +685,23 @@ def test_ks_drift_windows_are_bounded_and_no_cartesian(spark, sf_dir):
     p = plan(REGISTRY["ks_drift_by_source"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_sign_signature_kernel_is_arrow_and_pruned(spark, sf_dir):
+    """The packing kernel must run as MapInArrow (RecordBatch-level,
+    no pandas conversion) and the scan must prune the label column."""
+    p = plan(REGISTRY["embedding_sign_signature"].fn(spark, sf_dir))
+    assert "MapInArrow" in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_hamming_prefilter_is_band_equi_join(spark, sf_dir):
+    """Candidates must come from the (band, bucket) equi-join — never
+    a pair enumeration — and all bit arithmetic stays JVM-side (the
+    only Python in the plan is the signature kernel itself)."""
+    p = plan(REGISTRY["hamming_band_prefilter_report"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInArrow" in p
+    assert "EvalPython" not in p  # bit ops codegen'd, not Python
