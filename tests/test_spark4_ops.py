@@ -249,3 +249,37 @@ def test_hamming_prefilter_pigeonhole_complete(spark, sf_dir):
         b: (c, v) for b, (c, v) in per_band.items() if c > 0
     }
     assert got == want
+
+
+def test_format_roundtrip_rows_identical_and_stage_cached(spark, sf_dir):
+    """Beyond the registered checksums: every format's read-back rows
+    must equal the source projection EXACTLY (sorted row sets), and a
+    second invocation must reuse the staged directories."""
+    import os
+
+    from nemscraper_spark.queries.ingest_ops import _FMT_STAGE
+
+    REGISTRY["format_roundtrip_matrix"].fn(spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    stage = _FMT_STAGE[key]
+    src = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type")
+            .collect(),
+        )
+    )
+    schema = "event_id long, user_id long, event_type string"
+    backs = {
+        "csv": spark.read.schema(schema)
+        .option("header", "true")
+        .csv(os.path.join(stage, "csv")),
+        "json": spark.read.schema(schema).json(os.path.join(stage, "json")),
+        "orc": spark.read.orc(os.path.join(stage, "orc")),
+    }
+    for fmt, df in backs.items():
+        got = sorted(map(tuple, df.collect()))
+        assert got == src, f"{fmt} round trip diverged"
+    REGISTRY["format_roundtrip_matrix"].fn(spark, sf_dir).collect()
+    assert _FMT_STAGE[key] == stage  # cache hit, no restage
