@@ -206,6 +206,53 @@ def approx_sketches(spark, sf_dir):
 
 
 @register(
+    "hll_reaggregate_daily",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("A-approx", "scale"),
+)
+def hll_reaggregate_daily(spark, sf_dir):
+    """Sketch REAGGREGATION — the property that makes sketches the
+    100 TB distinct-count plan: build one Apache DataSketches HLL per
+    (event_type, day) partition (`hll_sketch_agg`, lgK=14), then merge
+    the daily partials upward with `hll_union_agg` instead of
+    re-scanning raw events.  A rollup cube at 100 TB stores the daily
+    sketch column once and answers weekly/monthly/all-time distincts by
+    union alone — `approx_count_distinct` can't do that (its partial
+    state is query-scoped).  Hash-gated like sketch_error_bounds: the
+    estimate itself is engine-internal, so the query emits the exact
+    count (computed side-by-side in the same plan) plus a
+    within-advertised-bound boolean (lgK=14 -> RSE ~0.8%; bound
+    max(5, 5%)) that the oracle asserts as a literal — drift outside
+    the bound turns the gate red."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    ok = F.abs(F.col("hll_users") - F.col("exact_users")) <= F.greatest(
+        F.lit(5.0), F.lit(0.05) * F.col("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        ok.alias("union_within_bound"),
+    )
+
+
+@register(
     "sketch_error_bounds",
     oracle="""
     SELECT event_type,

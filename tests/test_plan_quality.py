@@ -705,3 +705,24 @@ def test_hamming_prefilter_is_band_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "MapInArrow" in p
     assert "EvalPython" not in p  # bit ops codegen'd, not Python
+
+
+def test_ppjoin_prefix_filter_is_equi_join_only(spark, sf_dir):
+    """PPJoin candidate generation and verification must both be
+    shingle/pair equi-joins — never a CartesianProduct or nested-loop
+    pair enumeration — and stay entirely JVM-side (no Python in the
+    plan: shingling is explode/transform, ranking is a window)."""
+    p = plan(REGISTRY["jaccard_ppjoin_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_hll_reaggregate_partials_merge(spark, sf_dir):
+    """The daily->total rollup must aggregate SKETCH partials (two
+    HashAggregate levels over hll state), never re-scan raw events per
+    level; the scan reads only the three columns the query touches."""
+    p = plan(REGISTRY["hll_reaggregate_daily"].fn(spark, sf_dir))
+    assert "hll_union_agg" in p or "hll_sketch_agg" in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in read_schema and "event_id" not in read_schema
