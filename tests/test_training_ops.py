@@ -139,3 +139,66 @@ def test_sketch_profile_exact_brackets_approx(spark, sf_dir):
         assert abs(ap.approx_users - ex.n_users) <= max(5, 0.1 * ex.n_users)
         # percentile_approx with accuracy 10000 is near-exact here
         assert abs(ap.q50 - ex.p50) <= 0.05 * max(1.0, abs(ex.p50))
+
+
+# ---------------------------------------------------------- PPJoin --
+
+
+def test_ppjoin_completeness_adversarial(spark, tmp_path):
+    """Prefix-filter losslessness on a corpus built to stress the
+    theorem's edge cases: all-tied document frequencies (every shingle
+    df=2, so ordering falls entirely to the md5 tie-break), minimal
+    3-word docs (prefix length 1), equal-size pairs exactly AT the
+    threshold, and pairs just below it.  Expected pairs come from an
+    independent brute-force in pure Python."""
+    import itertools
+
+    import pandas as pd
+
+    docs = [
+        # J = 2/4 = 0.5: exactly at threshold (must be kept)
+        (1, "a b c d e"),            # shingles {abc, bcd, cde}
+        (2, "a b c d x"),            # {abc, bcd, cdx} -> inter 2, union 4
+        # J = 1/5 < 0.5 with doc 1 (must be pruned or fail verify)
+        (3, "a b c q r s t"),
+        # identical twins J = 1.0, minimal docs (n=1, prefix len 1)
+        (4, "p q r"),
+        (5, "p q r"),
+        # disjoint
+        (6, "u v w x y z"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    def shingles(text):
+        w = text.split(" ")
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+
+    expected = set()
+    for (da, ta), (db, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if sa and sb:
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                expected.add((min(da, db), max(da, db)))
+
+    from nemscraper_spark.queries import REGISTRY
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["jaccard_ppjoin_pairs"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected
+    assert (1, 2) in expected  # the at-threshold pair is really exercised
