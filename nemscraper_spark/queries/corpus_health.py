@@ -1019,3 +1019,110 @@ def ks_drift_by_source(spark, sf_dir):
             F.col("v").cast("long").alias("ks_at_value"),
         )
     )
+
+
+@register(
+    "doc_skyline_pareto",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT a.doc_id, a.n_distinct, a.n_tokens
+    FROM m a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.n_distinct >= a.n_distinct AND b.n_tokens <= a.n_tokens
+        AND (b.n_distinct > a.n_distinct OR b.n_tokens < a.n_tokens)
+    )
+    """,
+    tags=("quality", "scale"),
+)
+def doc_skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto front) data selection: docs not dominated on
+    (maximize distinct tokens, minimize total tokens) — the
+    "information-dense" frontier a curation pipeline samples from.
+
+    The oracle is the textbook quadratic NOT EXISTS; the Spark plan is
+    the 2-D sweep, fully JVM-side and NEVER all-pairs: groupBy the
+    maximize-axis (distinct-count values — bounded by max doc length,
+    thousands of rows at any corpus size, NOT corpus-sized), take
+    min(n_tokens) per value, one running-min window over that bounded
+    aggregate (strictly-larger values only: rowsBetween(unbounded,-1)
+    after a desc sort — same bounded-frame pattern as the post-limit
+    ranking windows), keep values where min_t < running-min (ties on
+    BOTH axes survive; a strictly-larger-axis tie dominates), then
+    broadcast the surviving (n_distinct, n_tokens) frontier back as an
+    equi-join to recover doc_ids.  Two shuffles + one broadcast at any
+    scale; dominance arithmetic is all integer, so the gate is exact."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    m = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_distinct"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    agg = m.groupBy("n_distinct").agg(F.min("n_tokens").alias("min_t"))
+    w = Window.orderBy(F.col("n_distinct").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        agg.withColumn("run_t", F.min("min_t").over(w))
+        .filter(F.col("min_t") < F.coalesce("run_t", F.lit(1 << 62)))
+        .select("n_distinct", F.col("min_t").alias("n_tokens"))
+    )
+    return m.join(F.broadcast(frontier), ["n_distinct", "n_tokens"]).select(
+        "doc_id", "n_distinct", "n_tokens"
+    )
+
+
+@register(
+    "token_simpson_concentration",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+           CAST(SUM(c * c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def token_simpson_concentration(spark, sf_dir):
+    """Simpson/Herfindahl token concentration per document: sum over
+    token types of (count/total)^2 — the no-logarithm diversity
+    statistic (1/simpson = effective vocabulary size).  Template spam
+    concentrates mass on few tokens (simpson -> 1); natural text stays
+    near 1/n_distinct.  Complements doc_repetition_score (bigram
+    repeat fraction) with a DISTRIBUTION-shape signal.
+
+    Chosen over Shannon entropy deliberately: entropy needs log(),
+    whose last-ulp rounding differs across engines (see the unrolled
+    log2 CASE note in corpus_graph.py) — Simpson is exact bigint
+    sums and ONE final division of exact integers, so the value hash
+    is bit-identical by construction.  Plan: explode -> two-level
+    partial-aggregated groupBy, no joins, no Python."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+        ).alias("simpson"),
+    )

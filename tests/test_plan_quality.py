@@ -726,3 +726,25 @@ def test_hll_reaggregate_partials_merge(spark, sf_dir):
     assert "hll_union_agg" in p or "hll_sketch_agg" in p
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
     assert "props" not in read_schema and "event_id" not in read_schema
+
+
+def test_skyline_frontier_broadcast_no_allpairs(spark, sf_dir):
+    """The skyline must come from the bounded-aggregate sweep + a
+    broadcast equi-join of the frontier — never the oracle's quadratic
+    NOT-EXISTS shape (no CartesianProduct / nested-loop), no Python."""
+    p = plan(REGISTRY["doc_skyline_pareto"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_simpson_is_pure_aggregation(spark, sf_dir):
+    """Simpson concentration is explode + two partial-aggregated
+    groupBys: no join of any kind, no Python, and the scan must prune
+    every column but doc_id/text."""
+    p = plan(REGISTRY["token_simpson_concentration"].fn(spark, sf_dir))
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
