@@ -681,3 +681,57 @@ def streaming_restart_exactly_once(spark, sf_dir):
     return spark.read.parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day_start,
+           c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dec_sum("e.value")} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "J1", "A8"),
+)
+def streaming_static_enrich(spark, sf_dir):
+    """STREAM-STATIC join — the one streaming join class the family
+    didn't yet cover (stream-stream interval/outer joins are
+    streaming_interval_join / _outer): each micro-batch of the events
+    stream inner-joins the STATIC customer dim (user_id = c_custkey),
+    then rolls up watermarked 1-day windows per market segment.
+
+    Stream-static inner joins are STATELESS by construction — Spark
+    re-plans the static side into every micro-batch, so a
+    broadcast-sized dim costs one broadcast per batch and ZERO state
+    store entries (contrast the interval join's watermark-bounded
+    buffers).  That is the 100 TB enrichment pattern: dims live in the
+    lakehouse, the feed joins them on the fly, and dim updates take
+    effect at the next micro-batch without restarting the query.
+    Complete-mode bounded replay == the batch join+rollup, which is
+    exactly what the oracle asserts (decimal-exact sums, so the hash
+    can't drift on aggregation order)."""
+    stream, _stage = _staged_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts_w", "1 hour")
+        .groupBy(F.window("ts_w", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(
+        agg, "nemspark_streaming_static_enrich", "complete",
+        width=_state_width(spark, sf_dir),
+    )
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "n_events",
+        "sum_value",
+    )
