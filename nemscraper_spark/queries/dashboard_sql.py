@@ -216,3 +216,61 @@ def sql_avg_per_series_panel(spark, sf_dir):
     pipeline-query equivalent.  One scan with the range pushed down,
     one partial-aggregated shuffle on (bucket, series)."""
     return run_sql(spark, sf_dir, _AVG_PER_SERIES_SQL)
+
+
+# Spark 4 recursive CTE (SPARK-24497): dialect-shared with DuckDB, so
+# the SAME text runs on both engines — the strongest possible gate for
+# an iterative surface (PageRank/PCA had to unroll; this one recurses
+# natively).  The hierarchy is a derived 10-ary tree over customers
+# (parent(k) = floor(k/10)): synthetic but structurally honest — walk
+# depth is log10(|customer|), and the recursion's per-step frame is a
+# self-join Spark plans as an iterated shuffle, the BOM-explosion /
+# org-rollup shape.
+_RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE walk(custkey, node, depth) AS (
+  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+  UNION ALL
+  SELECT custkey, CAST(FLOOR(node / 10) AS BIGINT), depth + 1
+  FROM walk WHERE node >= 10
+)
+SELECT custkey,
+       MAX(depth) AS depth,
+       MIN(CASE WHEN node < 10 THEN node END) AS root
+FROM walk
+GROUP BY custkey
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL,
+    tags=("D-SQL", "iterative"),
+)
+def recursive_cte_hierarchy(spark, sf_dir):
+    """Native WITH RECURSIVE (Spark 4) walking every customer up a
+    derived 10-ary tree to its root: per-customer depth + root id,
+    hash-gated by running the VERBATIM same SQL in DuckDB.  Recursion
+    depth is log10(n) — 6 levels at 1.5M customers — and each level is
+    one equi-join against the previous frontier, so the plan scales
+    exactly like the unrolled fixed-point family (pagerank/PCA) while
+    letting the ENGINE own termination.
+
+    Spark guards runaway recursion with a 1M-row safety valve
+    (spark.sql.cteRecursionRowLimit) counted across ALL iterations —
+    the walk frame is n_customers x ~log10(n) rows, so any serious
+    corpus trips it by volume, not by divergence.  Raise it to the
+    footer-derived worst case (rows x the 100-level depth limit);
+    depth stays engine-bounded at 100 either way.  The conf
+    must still be set when the CALLER executes the returned lazy
+    frame, so it is raised (never lowered) and left in place rather
+    than restored in a finally block that would fire pre-collect."""
+    import os
+
+    from nemscraper_spark.sources.inspect import footer_row_count
+
+    n = footer_row_count(os.path.join(sf_dir, "customer.parquet"))
+    need = max(1_000_000, (n + 1) * 101)
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    if need > cur:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
+    return run_sql(spark, sf_dir, _RECURSIVE_HIERARCHY_SQL)

@@ -818,3 +818,49 @@ def observed_metrics_audit(spark, sf_dir):
         "rows_scanned long, total_price double, groups_out long,"
         " conserved boolean",
     )
+
+
+@register(
+    "bitmap_exact_distinct_daily",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("A-approx", "scale"),
+)
+def bitmap_exact_distinct_daily(spark, sf_dir):
+    """EXACT reaggregable distinct counts via bitmap partials — the
+    exact counterpart of hll_reaggregate_daily: per (event_type, day,
+    bucket) roaring-style bitmaps (`bitmap_bucket_number` shards the
+    id space into 32k-bit pages so no single bitmap outgrows a row),
+    OR-merged across days, popcounted, then summed over buckets.
+    Unlike the HLL twin the merged VALUE is exact, so the driver's
+    hash gate checks the count itself, not a tolerance boolean.
+
+    At 100 TB this is the dense-id plan (ints bounded, bitmaps tiny);
+    HLL remains the plan for unbounded/string ids.  Every merge level
+    is an ordinary partial-aggregated groupBy — a rollup cube stores
+    the daily (bucket, bitmap) pages once and answers any coarser
+    distinct by OR alone, never re-scanning raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    counts = merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("exact_users")
+    )
+    days = ev.groupBy("event_type").agg(
+        F.count_distinct(F.to_date("ts")).alias("n_days")
+    )
+    return counts.join(days, "event_type").select(
+        "event_type", "n_days", "exact_users"
+    )
