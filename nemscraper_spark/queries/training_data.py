@@ -138,51 +138,105 @@ def ngram_jaccard_pairs(spark, sf_dir):
 # shingles first minimizes prefix collisions, and the md5 tie-break is
 # portable across engines (raw-string collation is not, on a
 # multilingual corpus).
+#
+# t is carried as the exact rational _PPJOIN_TP/_PPJOIN_TQ so the
+# positional filter's required-overlap bound alpha = ceil(t(na+nb)/(1+t))
+# is computed in INTEGER arithmetic — a float ceil could round a
+# boundary case up and silently drop a true pair (losslessness beats
+# elegance here).
 _PPJOIN_T = 0.5
+_PPJOIN_TP, _PPJOIN_TQ = 1, 2  # t = TP/TQ
 
 
-def _ppjoin_prefix_frame(spark, sf_dir):
-    """(doc_id, shingle, n) restricted to each doc's PPJoin prefix at
-    threshold _PPJOIN_T.  One shuffle on shingle (document frequency),
-    one on doc_id (rank + set size in a single window exchange)."""
+def _ppjoin_hashed(spark, sf_dir):
+    """(doc_id, h) shingle rows with h = xxhash64(shingle) — every
+    PPJoin join/shuffle runs on the 8-byte hash, not the string (the
+    ngram_jaccard_pairs convention: collision odds ~1e-9, ~2x less
+    shuffle).  The raw string survives only into the RANKING step,
+    where the portable (df, md5(shingle)) canonical order needs it."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return _shingle_frame(d).select(
+        "doc_id", "shingle", F.xxhash64("shingle").alias("h")
+    )
+
+
+def _ppjoin_prefix_frame(sh):
+    """(doc_id, h, n, pos) restricted to each doc's PPJoin prefix at
+    threshold _PPJOIN_T.  One shuffle on h (document frequency), one
+    on doc_id (rank + set size in a single window exchange).  pos (the
+    shingle's rank in the canonical order) feeds the positional
+    filter downstream."""
     from pyspark.sql import Window
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = _shingle_frame(d)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", F.md5("shingle"))
     w_all = Window.partitionBy("doc_id")
     return (
-        sh.join(dfreq, "shingle")
-        .select("doc_id", "shingle", "df")
+        sh.join(dfreq, "h")
+        .select("doc_id", "shingle", "h", "df")
         .withColumn("pos", F.row_number().over(w_rank))
         .withColumn("n", F.count("*").over(w_all))
         .filter(
             F.col("pos")
             <= F.col("n") - F.ceil(F.lit(_PPJOIN_T) * F.col("n")) + 1
         )
-        .select("doc_id", "shingle", "n")
+        .select("doc_id", "h", "n", "pos")
     )
 
 
 def _ppjoin_candidates(prefix):
-    """Distinct (doc_a, doc_b, na, nb) pairs colliding within prefixes
-    and passing the Jaccard length filter t*max(|x|,|y|) <= min."""
+    """(doc_a, doc_b, na, nb) pairs colliding within prefixes and
+    surviving BOTH PPJoin filters:
+
+      * length filter — J >= t forces t*max(|x|,|y|) <= min;
+      * POSITIONAL filter (the heart of PPJoin) — the FIRST common
+        shingle in the canonical order sits at positions
+        (min(pa), min(pb)) over the observed collisions, and every
+        OTHER common shingle must come after it in BOTH docs, so
+        overlap <= 1 + min(na - min(pa), nb - min(pb)).  (The bound
+        holds only at the first common token: taking the tightest
+        bound per-collision over-prunes, because a later collision
+        does not constrain the common tokens before it.)  The bound
+        must still reach alpha = ceil(t*(na+nb)/(1+t)), the overlap
+        J >= t requires; alpha is exact-integer (see
+        _PPJOIN_TP/_PPJOIN_TQ).
+
+    On zipfian shingle data the prefix filter alone leaves ~27% of
+    colliding pairs (sf0.1: 1.13M -> 310k); the positional bound is
+    what collapses the shared-boilerplate tail before the verify
+    joins ever see it.  The groupBy replaces the distinct() — same
+    shuffle, strictly more pruning."""
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "h",
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        "h",
+        F.col("n").alias("nb"),
+        F.col("pos").alias("pb"),
+    )
+    tp, tq = _PPJOIN_TP, _PPJOIN_TQ
+    # alpha = ceil(tp*(na+nb)/(tp+tq)) via integer DIV — never float
+    alpha = F.expr(
+        f"CAST(({tp} * (na + nb) + {tp + tq - 1}) DIV {tp + tq} AS BIGINT)"
+    )
+    ub = F.lit(1) + F.least(
+        F.col("na") - F.col("min_pa"), F.col("nb") - F.col("min_pb")
     )
     return (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             F.least("na", "nb").cast("double")
             >= F.lit(_PPJOIN_T) * F.greatest("na", "nb")
         )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.min("pa").alias("min_pa"), F.min("pb").alias("min_pb"))
+        .filter(ub >= alpha)
         .select("doc_a", "doc_b", "na", "nb")
-        .distinct()
     )
 
 
@@ -213,18 +267,30 @@ def jaccard_ppjoin_pairs(spark, sf_dir):
     candidate generation touches only each doc's (n - ceil(t*n) + 1)
     rarest shingles plus a length filter, so at 100 TB the candidate
     pair volume tracks true near-dup density instead of shingle
-    collision density (sf0.01: 11,533 colliding pairs -> prefix
-    candidates in the hundreds -> 25 survivors).  Verification then
-    counts intersections ONLY for surviving candidates: two equi-joins
-    of the candidate list against the full shingle frame, grouped per
-    pair — cost proportional to candidates, never to corpus^2."""
-    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
-    cand = _ppjoin_candidates(_ppjoin_prefix_frame(spark, sf_dir))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    collision density (sf0.01: 11,533 colliding pairs ->
+    prefix+positional candidates = 25 = exactly the survivor set).
+    Verification then counts intersections ONLY for surviving
+    candidates: two equi-joins of the candidate list against the full
+    shingle frame, grouped per pair — cost proportional to candidates,
+    never to corpus^2.
+
+    Honest crossover note (measured, sf0.1): on SHORT docs (~50
+    tokens) with template-dense vocabulary the naive single-join exact
+    path (ngram_jaccard_pairs' shape) still wins on wall clock — the
+    prefix build (df join + rank window) plus the per-candidate verify
+    joins cost more than one big collision groupBy when docs are this
+    small.  PPJoin's pruning pays where verification is the dominant
+    term: long documents (shingle sets in the thousands) and corpora
+    where candidates << colliding pairs — jaccard_ppjoin_report
+    hash-pins all three counts per corpus so that decision is
+    data-driven, not asserted."""
+    sh = _ppjoin_hashed(spark, sf_dir)
+    cand = _ppjoin_candidates(_ppjoin_prefix_frame(sh))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
@@ -247,12 +313,20 @@ def jaccard_ppjoin_pairs(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY s.doc_id) AS n
       FROM sh s JOIN dfreq d ON s.shingle = d.shingle
     ),
-    pref AS (SELECT doc_id, shingle, n FROM ranked
+    pref AS (SELECT doc_id, shingle, n, pos FROM ranked
              WHERE pos <= n - CEIL({_PPJOIN_T} * n) + 1),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      WHERE LEAST(a.n, b.n) >= {_PPJOIN_T} * GREATEST(a.n, b.n)
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n AS na, b.n AS nb,
+               MIN(a.pos) AS min_pa, MIN(b.pos) AS min_pb
+        FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE LEAST(a.n, b.n) >= {_PPJOIN_T} * GREATEST(a.n, b.n)
+        GROUP BY 1, 2, 3, 4
+      )
+      WHERE 1 + LEAST(na - min_pa, nb - min_pb)
+            >= ({_PPJOIN_TP} * (na + nb) + {_PPJOIN_TP + _PPJOIN_TQ - 1})
+               // {_PPJOIN_TP + _PPJOIN_TQ}
     ),
     naive AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -277,19 +351,22 @@ def jaccard_ppjoin_pairs(spark, sf_dir):
 )
 def jaccard_ppjoin_report(spark, sf_dir):
     """The PPJoin pruning A/B, hash-gated: naive colliding-pair count
-    vs prefix-filtered candidate count vs true matches, one row.  The
-    oracle replicates the prefix logic verbatim (same (df ASC,
-    md5(shingle)) canonical order, same ceil arithmetic), so the gate
-    pins BOTH the pruning ratio and its losslessness
+    vs prefix+positional candidate count vs true matches, one row.
+    The oracle replicates the full pruning logic verbatim (same
+    (df ASC, md5(shingle)) canonical order, same ceil arithmetic, same
+    integer-exact alpha and first-common-token overlap bound), so the
+    gate pins BOTH the pruning ratio and its losslessness
     (prefix_candidate_pairs >= matched_pairs always; every matched
-    pair is produced by jaccard_ppjoin_pairs).  This is the number a
-    100 TB dedup run budgets its verify stage with."""
-    sh = _shingle_frame(fan_out(load_table(spark, sf_dir, "documents")))
-    cand = _ppjoin_candidates(_ppjoin_prefix_frame(spark, sf_dir))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pair is produced by jaccard_ppjoin_pairs).  sf0.01 measures
+    11,533 -> 25 -> 25: the positional bound collapses the candidate
+    set to exactly the answer.  This is the number a 100 TB dedup run
+    budgets its verify stage with."""
+    sh = _ppjoin_hashed(spark, sf_dir)
+    cand = _ppjoin_candidates(_ppjoin_prefix_frame(sh))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     colliding = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
