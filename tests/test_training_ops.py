@@ -166,6 +166,15 @@ def test_ppjoin_completeness_adversarial(spark, tmp_path):
         (5, "p q r"),
         # disjoint
         (6, "u v w x y z"),
+        # identical twins with MANY shingles (n=5, prefix len 3,
+        # multiple prefix collisions): regression for the positional
+        # filter — the overlap bound is valid only at the FIRST common
+        # shingle in canonical order; a per-collision min-of-bounds
+        # (the bug this case pins) under-bounds via the LAST collision
+        # (1 + min(5-3, 5-3) = 3 < alpha = ceil(10/3) = 4) and drops
+        # this true J=1.0 pair.
+        (7, "h i j k l m n"),
+        (8, "h i j k l m n"),
     ]
     pdf = pd.DataFrame(
         {
@@ -202,3 +211,4 @@ def test_ppjoin_completeness_adversarial(spark, tmp_path):
     }
     assert got == expected
     assert (1, 2) in expected  # the at-threshold pair is really exercised
+    assert (7, 8) in expected  # the multi-collision positional case too
