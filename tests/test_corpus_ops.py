@@ -441,3 +441,58 @@ def test_lsh_groups_refine_exact_groups(spark, sf_dir):
         assert members <= exact.keys()
         # ...and into a single exact component
         assert len({exact[m] for m in members}) == 1
+
+
+def test_skyline_adversarial_ties_and_chains(spark, tmp_path):
+    """Pareto-front edge cases the sf corpus can't guarantee: duplicate
+    frontier points (neither dominates — BOTH stay), a point dominated
+    only via a strictly-better single axis (equal on the other), and a
+    strictly-dominated chain.  Expected set from an independent
+    quadratic dominance check in pure Python."""
+    import itertools
+
+    import pandas as pd
+
+    # (doc_id, text) -> metrics are (distinct tokens DESC, total ASC)
+    docs = [
+        (1, "a b c"),          # 3 distinct / 3 total  (frontier)
+        (2, "a b c"),          # duplicate point — must ALSO survive
+        (3, "a b c a"),        # 3/4: dominated by 1 (equal distinct, more total)
+        (4, "a b c d e a"),    # 5/6 (frontier: more distinct, more total)
+        (5, "a a a a a a a"),  # 1/7: dominated
+        (6, "z"),              # 1/1: frontier (fewest total)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    def metrics(text):
+        w = text.split(" ")
+        return (len(set(w)), len(w))
+
+    pts = {d: metrics(t) for d, t in docs}
+
+    def dominated(a, b):  # does b dominate a?
+        (da, ta), (db, tb) = pts[a], pts[b]
+        return db >= da and tb <= ta and (db > da or tb < ta)
+
+    expected = {
+        d for d in pts if not any(dominated(d, o) for o in pts if o != d)
+    }
+
+    from nemscraper_spark.queries import REGISTRY
+
+    got = {
+        r.doc_id
+        for r in REGISTRY["doc_skyline_pareto"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    assert {1, 2} <= expected  # duplicate frontier points both kept
+    assert 3 not in expected  # single-axis strict domination enforced
