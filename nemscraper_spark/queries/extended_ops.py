@@ -864,3 +864,95 @@ def bitmap_exact_distinct_daily(spark, sf_dir):
     return counts.join(days, "event_type").select(
         "event_type", "n_days", "exact_users"
     )
+
+
+@register(
+    "argmax_last_event_per_user",
+    oracle="""
+    SELECT user_id,
+           LAST(event_id ORDER BY ts, event_id) AS last_event_id,
+           LAST(value ORDER BY ts, event_id) AS last_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("A-argmax", "A1"),
+)
+def argmax_last_event_per_user(spark, sf_dir):
+    """Top-1-per-group WITHOUT a window: latest event per user via the
+    struct-max idiom — max(struct(ts, event_id, value)) compares
+    lexicographically, so one partial-aggregated groupBy replaces the
+    row_number()-over-(partition ORDER BY)-filter plan entirely.  At
+    100 TB that is the difference between a map-side-combinable
+    aggregate (state = one struct per key per partition) and a full
+    shuffle+SORT of every row in the fact table; the event_id in the
+    struct makes the order total, so ties on ts cannot flip the answer
+    between engines (the oracle's ordered LAST uses the same
+    tie-break)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.max(F.struct("ts", "event_id", "value")).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m, F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.value").alias("last_value"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "ivm_delta_join_view",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dec_sum("l.l_extendedprice")} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    tags=("cdc", "scale"),
+)
+def ivm_delta_join_view(spark, sf_dir):
+    """Incremental view maintenance for a JOIN view, proven by the
+    hash gate: with A split into (base, dA) and B into (base, dB) by
+    independent deterministic predicates, the maintained view is the
+    four-term decomposition
+
+        (A u dA) |x| (B u dB)
+            = A|x|B  u  dA|x|B  u  A|x|dB  u  dA|x|dB
+
+    and the oracle recomputes the join from scratch — hash equality
+    proves the delta propagation is EXACTLY the full recompute.  At
+    100 TB the A|x|B term is the already-materialized view and only
+    the three delta terms run per refresh (each a join with one tiny
+    side, broadcast in practice), which is why IVM refresh cost tracks
+    the delta, not the table.  All four terms here are explicit
+    unions feeding ONE partial-aggregated rollup, so the additive
+    aggregate (count, decimal-exact sum) merges across terms the same
+    way a real refresh merges into the stored view."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_base = o.filter(F.col("o_orderkey") % 7 != 0)
+    o_delta = o.filter(F.col("o_orderkey") % 7 == 0)
+    l_base = li.filter(F.col("l_orderkey") % 5 != 0)
+    l_delta = li.filter(F.col("l_orderkey") % 5 == 0)
+
+    def term(odf, ldf):
+        return odf.select("o_orderkey", "o_orderpriority").join(
+            ldf.select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+            ),
+            "o_orderkey",
+        )
+
+    view = (
+        term(o_base, l_base)
+        .unionByName(term(o_delta, l_base))
+        .unionByName(term(o_base, l_delta))
+        .unionByName(term(o_delta, l_delta))
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dec_sum("l_extendedprice").alias("revenue"),
+    )

@@ -748,3 +748,13 @@ def test_simpson_is_pure_aggregation(spark, sf_dir):
     assert "EvalPython" not in p
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_argmax_is_aggregate_not_window(spark, sf_dir):
+    """The struct-max top-1-per-group must plan as a two-level
+    HashAggregate (map-side combinable) with NO Window and NO Sort —
+    that is the entire point vs the row_number plan."""
+    p = plan(REGISTRY["argmax_last_event_per_user"].fn(spark, sf_dir))
+    assert "Window" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
+    assert "EvalPython" not in p
