@@ -933,10 +933,13 @@ def ivm_delta_join_view(spark, sf_dir):
     way a real refresh merges into the stored view."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    o_base = o.filter(F.col("o_orderkey") % 7 != 0)
-    o_delta = o.filter(F.col("o_orderkey") % 7 == 0)
-    l_base = li.filter(F.col("l_orderkey") % 5 != 0)
-    l_delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    # ~1% deltas (coprime moduli): honest to the IVM story — refresh
+    # cost must track the delta — and small enough that AQE broadcasts
+    # the delta side of the three delta terms on its own.
+    o_base = o.filter(F.col("o_orderkey") % 97 != 0)
+    o_delta = o.filter(F.col("o_orderkey") % 97 == 0)
+    l_base = li.filter(F.col("l_orderkey") % 89 != 0)
+    l_delta = li.filter(F.col("l_orderkey") % 89 == 0)
 
     def term(odf, ldf):
         return odf.select("o_orderkey", "o_orderpriority").join(
