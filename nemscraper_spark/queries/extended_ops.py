@@ -959,3 +959,73 @@ def ivm_delta_join_view(spark, sf_dir):
         F.count("*").alias("n"),
         dec_sum("l_extendedprice").alias("revenue"),
     )
+
+
+@register(
+    "column_stats_profile",
+    oracle="""
+    SELECT 'l_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+           CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    """,
+    tags=("profile", "stats", "A-distinct"),
+)
+def column_stats_profile(spark, sf_dir):
+    """ANALYZE-TABLE-style column statistics in ONE scan: per-column
+    row count, null count, EXACT ndv, and typed min/max — the stats a
+    cost-based optimizer, a catalog, or a data-quality monitor collects
+    before anything else touches a 100 TB table.  Multiple exact
+    COUNT(DISTINCT) in one aggregate plan as a single scan + Expand
+    (one pass over the data, k-way expanded partials), NOT k scans —
+    the oracle's UNION ALL of per-column scans is the shape we prove
+    equivalent and deliberately avoid.  Numeric min/max surface as
+    DOUBLE and string min/max as VARCHAR so the schema is uniform
+    without cross-engine number-to-string formatting (which is not
+    portable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("*").alias("n"),
+        F.count("l_orderkey").alias("c_ok"),
+        F.count_distinct("l_orderkey").alias("ndv_ok"),
+        F.min("l_orderkey").cast("double").alias("min_ok"),
+        F.max("l_orderkey").cast("double").alias("max_ok"),
+        F.count("l_quantity").alias("c_qty"),
+        F.count_distinct("l_quantity").alias("ndv_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.count("l_returnflag").alias("c_rf"),
+        F.count_distinct("l_returnflag").alias("ndv_rf"),
+        F.min("l_returnflag").alias("min_rf"),
+        F.max("l_returnflag").alias("max_rf"),
+    )
+    return agg.select(
+        F.expr(
+            """stack(3,
+              'l_orderkey',  n, n - c_ok,  ndv_ok,  min_ok,  max_ok,
+                  CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'l_quantity',  n, n - c_qty, ndv_qty, min_qty, max_qty,
+                  CAST(NULL AS STRING), CAST(NULL AS STRING),
+              'l_returnflag', n, n - c_rf, ndv_rf,
+                  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                  min_rf, max_rf
+            ) AS (col, n, n_null, ndv, min_num, max_num, min_str, max_str)"""
+        )
+    )
