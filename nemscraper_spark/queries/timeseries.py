@@ -537,3 +537,59 @@ def locf_forward_fill(spark, sf_dir):
         "ts",
         F.last(reading, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@register(
+    "wau_rolling_distinct",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    spine AS (SELECT DISTINCT day FROM du)
+    SELECT s.day AS day,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT CASE WHEN d.day = s.day THEN d.user_id END)
+                AS BIGINT) AS dau
+    FROM spine s JOIN du d ON d.day BETWEEN s.day - 6 AND s.day
+    GROUP BY 1
+    """,
+    tags=("timeseries", "A-distinct", "W-beyond"),
+)
+def wau_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per day (WAU) + same-day distinct
+    (DAU) — the canonical NON-decomposable rolling metric: COUNT
+    DISTINCT over a sliding window can't be merged from daily partials
+    (unlike the bitmap/HLL sketches elsewhere in this family), and the
+    textbook range join (day BETWEEN target-6 AND target, the oracle's
+    shape) is a nested-loop at scale.
+
+    The Spark plan is the EXPLODE-TO-TARGETS trick: dedup to (day,
+    user) once, then each row fans out to the <=7 target days it
+    contributes to (sequence + explode — pure codegen projection, x7
+    row factor, zero nested loop), semi-joins the broadcast observed-
+    day spine (so synthetic target days past the horizon drop, exactly
+    matching the oracle's spine join), and one groupBy counts distinct
+    users per target day.  Shuffle volume is 7x the DEDUPED (day,
+    user) pairs — bounded by users x days, not events — and every
+    operator is an equi-join or aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    spine = du.select("day").distinct().withColumnRenamed("day", "tday")
+    fanned = du.select(
+        "day",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+    )
+    return (
+        fanned.join(F.broadcast(spine), "tday")
+        .groupBy("tday")
+        .agg(
+            F.count_distinct("user_id").alias("wau"),
+            F.count_distinct(
+                F.when(F.col("day") == F.col("tday"), F.col("user_id"))
+            ).alias("dau"),
+        )
+        .select(F.col("tday").alias("day"), "wau", "dau")
+    )

@@ -758,3 +758,14 @@ def test_argmax_is_aggregate_not_window(spark, sf_dir):
     assert "Window" not in p
     assert "HashAggregate" in p or "SortAggregate" in p
     assert "EvalPython" not in p
+
+
+def test_wau_rolling_has_no_range_join(spark, sf_dir):
+    """The rolling-distinct plan must be the explode-to-targets shape:
+    no CartesianProduct / BroadcastNestedLoopJoin (the range-join
+    fallback), spine broadcast, all JVM-side."""
+    p = plan(REGISTRY["wau_rolling_distinct"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
