@@ -1029,3 +1029,58 @@ def column_stats_profile(spark, sf_dir):
             ) AS (col, n, n_null, ndv, min_num, max_num, min_str, max_str)"""
         )
     )
+
+
+@register(
+    "ivm_retraction_view",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dec_sum("l.l_extendedprice")} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 97 != 0
+    GROUP BY 1
+    """,
+    tags=("cdc", "scale"),
+)
+def ivm_retraction_view(spark, sf_dir):
+    """DELETE propagation through a maintained join view — the
+    retraction half of IVM (ivm_delta_join_view covers inserts): when
+    ~1% of orders are deleted, the refresh does NOT re-join the
+    table; it joins ONLY the deleted keys and feeds them through the
+    same additive aggregate with weight -1 (Differential-Dataflow-
+    style signed multiplicities).  n = SUM(weight) and revenue =
+    SUM(price * weight) cancel the deleted contributions exactly —
+    COUNT and decimal SUM are retractable aggregates (MIN/MAX are
+    not; they need the base-term recompute).  The oracle recomputes
+    the view from scratch WITHOUT the deleted orders; hash equality
+    proves retraction == recompute.  At 100 TB the -1 term is a
+    broadcast join against the delete feed, so a delete batch costs
+    its own size, never the table's."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    deleted = o.filter(F.col("o_orderkey") % 97 == 0)
+
+    def weighted(odf, w):
+        return (
+            odf.select("o_orderkey", "o_orderpriority")
+            .join(li, "o_orderkey")
+            .select(
+                "o_orderpriority",
+                F.lit(w).alias("weight"),
+                (F.col("l_extendedprice").cast("decimal(25,4)") * w).alias(
+                    "wprice"
+                ),
+            )
+        )
+
+    signed = weighted(o, 1).unionByName(weighted(deleted, -1))
+    return (
+        signed.groupBy("o_orderpriority")
+        .agg(
+            F.sum("weight").alias("n"),
+            F.sum("wprice").cast("double").alias("revenue"),
+        )
+    )
