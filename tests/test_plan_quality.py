@@ -769,3 +769,16 @@ def test_wau_rolling_has_no_range_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_ivm_join_has_no_forced_fact_broadcast(spark, sf_dir):
+    """The IVM base join must not PIN a fact-scaling side as broadcast
+    (round-4's broadcast-policy lesson: forced broadcasts of
+    fact-scaling relations OOM at 100 TB).  At test scale AQE may
+    legitimately broadcast the tiny tables on its own, so the pin
+    checks for the absence of an explicit broadcast HINT in the
+    analyzed plan, not the physical join choice."""
+    df = REGISTRY["ivm_delta_join_view"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed
+    assert "hints=[broadcast" not in analyzed.lower()
