@@ -206,3 +206,49 @@ def pagerank_event_graph(spark, sf_dir):
         F.col("r").alias("rank_fp"),
         (F.col("r").cast("double") / F.lit(_R_SCALE)).alias("rank"),
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    tags=("graph", "W-leadlag", "O1"),
+)
+def event_path_trigrams(spark, sf_dir):
+    """Sequence mining: the 20 most frequent length-3 event paths over
+    per-user timelines — the n-gram generalization of
+    event_transition_matrix (bigrams), the shape funnel-discovery and
+    session-behavior models start from.  Two LEADs over one
+    (user_id)-partitioned sort (a SINGLE exchange+sort serves both),
+    one partial-aggregated trigram count (state bounded by
+    |event_types|^3, tiny), and a total-order top-20 (count desc, then
+    the path itself) that plans as TakeOrdered — no global sort.  The
+    (ts, event_id) tie-break makes the sequence total per user, so
+    concurrent-timestamp events cannot flip paths between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
