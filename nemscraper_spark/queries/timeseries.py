@@ -593,3 +593,53 @@ def wau_rolling_distinct(spark, sf_dir):
         )
         .select(F.col("tday").alias("day"), "wau", "dau")
     )
+
+
+@register(
+    "volume_trend_slope",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+             AS slope_per_day,
+           CAST(SUM(y) AS BIGINT) AS total_events
+    FROM d GROUP BY event_type
+    """,
+    tags=("timeseries", "stats", "drift"),
+)
+def volume_trend_slope(spark, sf_dir):
+    """Per-type daily-volume TREND: the least-squares slope of daily
+    event count vs day index — the drift/growth detector a pipeline
+    health monitor runs per source.  Both regression moments (Sxy,
+    Sxx) are EXACT BIGINT sums over integer (day, count) pairs — no
+    float accumulation anywhere, so the slope is one exact-integer
+    expression divided by another and the hash gate can't drift on
+    aggregation order (the same reason zscore_outliers uses decimal
+    moments; regr_slope's float running sums would not replay).  Two
+    partial-aggregated groupBys, state bounded by types x days."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    n = F.count("*")
+    num = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).cast(
+        "double"
+    )
+    den = (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast(
+        "double"
+    )
+    return d.groupBy("event_type").agg(
+        n.alias("n_days"),
+        (num / den).alias("slope_per_day"),
+        F.sum("y").alias("total_events"),
+    )
