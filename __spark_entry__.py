@@ -30,12 +30,15 @@ schedule):
 
 from __future__ import annotations
 
+import functools
 import glob
 import hashlib
+import importlib
 import inspect
 import json
 import re
 import sys
+import types
 from collections.abc import Callable
 from pathlib import Path
 
@@ -64,18 +67,169 @@ _PERMANENT_ROWS_ONLY = frozenset(
 )
 
 
+# Package prefix whose helpers participate in fingerprints (a module
+# constant so the unit tests can point it at a throwaway package).
+_PKG = "nemscraper_spark"
+
+# from/import statements inside a function body store into LOCALS, so a
+# co_names/globals walk can't see them — catch them lexically instead.
+_IMPORT_FROM_RE = re.compile(
+    r"^\s*from\s+([\w.]+)\s+import\s+([\w,\s]+?)\s*$", re.M
+)
+_IMPORT_MOD_RE = re.compile(r"^\s*import\s+([\w.]+)", re.M)
+
+# Immutable plain data only: module-level dict/list/set globals are
+# runtime caches (_SHINGLE_CACHE, sql._REGISTERED) whose repr mutates as
+# the session runs, and reprs of arbitrary objects embed memory
+# addresses — either would make fingerprints unstable.
+def _is_plain_const(val) -> bool:
+    if isinstance(val, (str, bytes, int, float, bool, complex)) or val is None:
+        return True
+    if isinstance(val, (tuple, frozenset)):
+        return all(_is_plain_const(v) for v in val)
+    return False
+
+
+def _code_names(code) -> set[str]:
+    """co_names of a code object and every nested code object (inner
+    defs / lambdas / comprehensions share the enclosing globals)."""
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _code_names(c)
+    return names
+
+
+def _local_imports(src: str) -> list[object]:
+    """Objects pulled in by `from <pkg>... import x` / `import <pkg>...`
+    statements appearing in a function's source (typically lazy imports
+    inside the body, invisible to the globals walk)."""
+    out: list[object] = []
+    for mod_name, names in _IMPORT_FROM_RE.findall(src):
+        if not mod_name.startswith(_PKG):
+            continue
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        for attr in (n.strip() for n in names.split(",")):
+            if not attr:
+                continue
+            # `from pkg.sources import fsutil` names a SUBMODULE that
+            # may not be imported yet — hasattr would answer False cold
+            # and True after any other walk imports it (order-dependent
+            # fingerprints).  Import it explicitly first.
+            try:
+                out.append(importlib.import_module(f"{mod_name}.{attr}"))
+                continue
+            except ImportError:
+                pass
+            if hasattr(mod, attr):
+                out.append(getattr(mod, attr))
+    for mod_name in _IMPORT_MOD_RE.findall(src):
+        if mod_name.startswith(_PKG):
+            try:
+                out.append(importlib.import_module(mod_name))
+            except ImportError:
+                pass
+    return out
+
+
+def _closure_parts(fn) -> dict[str, str]:
+    """key -> source/repr for every in-package helper the query's code
+    transitively references: functions and classes by their own source,
+    whole modules (rare, module-object references) by module source,
+    plain-data module constants by repr.  This is what lets a shared
+    helper edit (queries/common.py, operators/*) drop every dependent
+    query out of the green set automatically — round 5 needed a manual
+    16-name _RECHECK_FIRST block for exactly this gap."""
+    parts: dict[str, str] = {}
+    seen: set[int] = set()
+    keep: list[object] = []  # pin visited objects: a gc'd visitee would
+    # free its id for reuse and make the id-based dedup skip a NEW
+    # object nondeterministically (heap-layout-dependent fingerprints)
+    stack: list[object] = [fn]
+    while stack:
+        obj = stack.pop()
+        if id(obj) in seen:
+            continue
+        seen.add(id(obj))
+        keep.append(obj)
+        obj = inspect.unwrap(obj) if callable(obj) else obj
+        if isinstance(obj, types.ModuleType):
+            if obj.__name__.startswith(_PKG):
+                try:
+                    parts[f"mod:{obj.__name__}"] = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    pass
+            continue
+        if isinstance(obj, type):
+            if getattr(obj, "__module__", "").startswith(_PKG):
+                key = f"cls:{obj.__module__}.{obj.__qualname__}"
+                try:
+                    parts[key] = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    parts[key] = key
+                for attr in vars(obj).values():
+                    if isinstance(
+                        attr, (types.FunctionType, staticmethod, classmethod)
+                    ):
+                        stack.append(getattr(attr, "__func__", attr))
+            continue
+        code = getattr(obj, "__code__", None)
+        if code is None:
+            continue
+        mod = getattr(obj, "__module__", "") or ""
+        in_pkg = mod.startswith(_PKG)
+        if in_pkg and obj is not fn:
+            key = f"fn:{mod}.{obj.__qualname__}"
+            try:
+                parts[key] = inspect.getsource(obj)
+            except (OSError, TypeError):
+                parts[key] = key
+        if not in_pkg and obj is not fn:
+            continue  # don't walk into external libraries
+        g = getattr(obj, "__globals__", {})
+        try:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):
+            src = ""
+        stack.extend(_local_imports(src))
+        for name in _code_names(code):
+            if name not in g:
+                continue
+            val = g[name]
+            if callable(val) or isinstance(val, types.ModuleType):
+                stack.append(val)
+            elif _is_plain_const(val):
+                # module-level tunables (_PPJOIN_T, SQL templates, band
+                # geometries) are behaviour — a change must invalidate
+                parts.setdefault(f"const:{mod}.{name}", repr(val))
+    return parts
+
+
+@functools.lru_cache(maxsize=None)
+def _closure_digest(fn) -> str:
+    parts = _closure_parts(fn)
+    joined = "\x00".join(f"{k}\x01{parts[k]}" for k in sorted(parts))
+    return hashlib.sha256(joined.encode()).hexdigest()[:16]
+
+
 def _fingerprint(name: str) -> str:
-    """Stable digest of a query's implementation source + oracle SQL.
+    """Stable digest of a query's implementation source + oracle SQL +
+    the source of every in-package helper it transitively references.
     Used to drop edited queries out of the green set automatically: a
-    green is only trusted while the code that earned it is unchanged.
-    (Helper-function edits aren't captured — the local verify pass
-    covers those before fingerprints are re-blessed.)"""
+    green is only trusted while ALL the code that earned it is
+    unchanged — including shared helpers like queries/common.py and
+    operators/* (the round-5 gap that needed a manual recheck list)."""
     spec = REGISTRY[name]
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):  # source unavailable (REPL, C ext)
         src = spec.fn.__qualname__
-    payload = src + "\x00" + (spec.oracle or "")
+    payload = (
+        src + "\x00" + (spec.oracle or "") + "\x00" + _closure_digest(spec.fn)
+    )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

@@ -109,3 +109,91 @@ def test_last_green_round_takes_max(fake_repo):
     write_round(1, {name: _green_row()})
     write_round(3, {name: _green_row()})
     assert entry._last_green_round()[name] == 3
+
+
+def test_closure_captures_shared_helpers():
+    """The fingerprint closure must see through the query fn into the
+    shared helper surface: queries/common.py loaders, module-private
+    helper chains, tunable constants, and function-local imports."""
+    parts = entry._closure_parts(REGISTRY["filter_eq"].fn)
+    assert "fn:nemscraper_spark.queries.common.load_table" in parts
+
+    parts = entry._closure_parts(REGISTRY["jaccard_ppjoin_pairs"].fn)
+    keys = set(parts)
+    # transitive helper chain + the threshold constants ADVICE flagged
+    assert any("._ppjoin_prefix_frame" in k for k in keys)
+    assert any("._ppjoin_candidates" in k for k in keys)
+    assert any("_PPJOIN_T" in k for k in keys)
+
+    # function-local `from nemscraper_spark... import x` (lazy import
+    # inside the body) — invisible to a plain globals walk
+    parts = entry._closure_parts(REGISTRY["recursive_cte_hierarchy"].fn)
+    assert any("footer_row_count" in k for k in parts)
+
+
+def test_closure_skips_mutable_runtime_caches():
+    """Module-level dict caches mutate as the session runs — they must
+    never enter the digest or fingerprints would drift mid-session."""
+    import nemscraper_spark.queries.training_data as td
+
+    fn = REGISTRY["minhash_lsh_pairs"].fn
+    before = entry._closure_parts(fn)
+    assert not any("_SHINGLE_CACHE" in k for k in before)
+    td._SHINGLE_CACHE[("__fp_test__", "x")] = object()
+    try:
+        assert entry._closure_parts(fn) == before
+    finally:
+        td._SHINGLE_CACHE.pop(("__fp_test__", "x"), None)
+
+
+def test_helper_edit_changes_fingerprint(tmp_path, monkeypatch):
+    """Editing a SHARED HELPER (not the query fn itself) must change the
+    query's fingerprint, so the green drops and the driver rechecks —
+    the round-5 gap that needed a manual _RECHECK_FIRST list."""
+    import importlib
+    import linecache
+    import sys
+    import textwrap
+
+    from nemscraper_spark.queries.common import QuerySpec
+
+    pkg = tmp_path / "fpclosure_testpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    mod_src = textwrap.dedent(
+        """
+        def helper():
+            return {ret}
+
+        def query(spark, sf_dir):
+            return helper()
+        """
+    )
+    (pkg / "mod.py").write_text(mod_src.format(ret=1))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(entry, "_PKG", "fpclosure_testpkg")
+    mod = importlib.import_module("fpclosure_testpkg.mod")
+    try:
+        monkeypatch.setitem(
+            REGISTRY,
+            "__fp_closure_test__",
+            QuerySpec("__fp_closure_test__", mod.query, None),
+        )
+        fp_before = entry._fingerprint("__fp_closure_test__")
+
+        (pkg / "mod.py").write_text(mod_src.format(ret=2))
+        linecache.clearcache()
+        mod = importlib.reload(mod)
+        entry._closure_digest.cache_clear()
+        monkeypatch.setitem(
+            REGISTRY,
+            "__fp_closure_test__",
+            QuerySpec("__fp_closure_test__", mod.query, None),
+        )
+        fp_after = entry._fingerprint("__fp_closure_test__")
+        # query fn source is byte-identical — only the helper changed
+        assert fp_before != fp_after
+    finally:
+        sys.modules.pop("fpclosure_testpkg.mod", None)
+        sys.modules.pop("fpclosure_testpkg", None)
+        entry._closure_digest.cache_clear()
