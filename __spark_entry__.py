@@ -281,34 +281,32 @@ def _green_names() -> frozenset[str]:
     return frozenset(green)
 
 
-# Queries edited + locally verified in round 5 whose fingerprints were
-# re-blessed before the round-5 driver run — they must record a FRESH
+# Queries edited + locally verified THIS round whose fingerprints were
+# re-blessed before the round's driver run — they must record a FRESH
 # driver row under the new code, ahead of the green rotation.  The
 # block self-expires: a name drops out as soon as a CORRECTNESS round
 # >= _RECHECK_SINCE contains a completed row for it (hash-green when it
 # has an oracle; any completed rows-check otherwise).
-_RECHECK_SINCE = 5
+#
+# Round 6 note: the list is now SHORT by construction — fingerprints
+# cover each query's transitive helper closure, so helper-edit victims
+# (round 5 needed 7 shingle-cache names here) re-queue automatically;
+# only whole-registry re-blessings after verified edits still need the
+# explicit push past the blessing.
+_RECHECK_SINCE = 6
 _RECHECK_FIRST = (
-    "approx_sketches",          # r4 harness crash -> scalar quantiles
-    "minhash_lsh_pairs_md5",    # oracle regenerated (parameterized SQL)
-    "dedup_groups_lsh_md5",     # impl + oracle now shared-generator
-    "ann_pq_adc_md5",           # _NIV_SQL zero-norm guard
-    "ann_ivfpq_adc_md5",        # _NIV_SQL zero-norm guard
-    "semantic_dedup_clusters",  # k now scales with corpus size
-    "quality_classifier_linear",  # nullif zero guards
-    "multimodal_audio_energy",  # unicode code-point kernel
-    "q17_small_quantity_revenue",  # r4 rewrite never driver-checked
-    # shingle-helper consumers: _shingles now delegates to the shared
-    # cached builder (identical frame, verified by driver_sim) — force
-    # one driver confirmation anyway since helper edits don't move
-    # fingerprints.
-    "minhash_lsh_pairs",
-    "minhash_containment_pairs",
-    "lsh_band_curve_report",
-    "dedup_incremental_delta",
-    "dedup_groups_lsh",
-    "dedup_cluster_components",
-    "dedup_keep_canonical",
+    "ivm_retraction_view",      # zero-multiplicity cleanup filter
+    "volume_trend_slope",       # den=0 division guard (plan + oracle)
+    "recursive_cte_hierarchy",  # scoped recursion-limit raise
+    "equidepth_histogram_price",  # approx-sketch boundaries (scale-safe
+    # primary; bit-exact form moved to equidepth_histogram_price_exact)
+    # helper-edit victims (integer prefix arithmetic in the shared
+    # PPJoin helpers).  Closure fingerprints would re-queue these on
+    # their own IF the blessing predated the edit — but round 6
+    # re-blesses the whole registry (fingerprint algorithm change), so
+    # the post-edit blessing matches and they must be pushed explicitly.
+    "jaccard_ppjoin_pairs",
+    "jaccard_ppjoin_report",
 )
 
 

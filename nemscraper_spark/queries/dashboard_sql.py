@@ -259,18 +259,26 @@ def recursive_cte_hierarchy(spark, sf_dir):
     (spark.sql.cteRecursionRowLimit) counted across ALL iterations —
     the walk frame is n_customers x ~log10(n) rows, so any serious
     corpus trips it by volume, not by divergence.  Raise it to the
-    footer-derived worst case (rows x the 100-level depth limit);
-    depth stays engine-bounded at 100 either way.  The conf
-    must still be set when the CALLER executes the returned lazy
-    frame, so it is raised (never lowered) and left in place rather
-    than restored in a finally block that would fire pre-collect."""
+    footer-derived worst case (rows x the 100-level depth limit),
+    run the recursion EAGERLY under the raised limit via
+    localCheckpoint (the grouped result is n_customers rows — small),
+    then RESTORE the conf: leaving the valve raised session-wide
+    would weaken runaway-recursion protection for every later
+    recursive query sharing the session.  The checkpoint truncates
+    the returned frame's lineage to the materialized blocks, so the
+    caller's collect no longer needs the conf at all."""
     import os
 
     from nemscraper_spark.sources.inspect import footer_row_count
 
     n = footer_row_count(os.path.join(sf_dir, "customer.parquet"))
     need = max(1_000_000, (n + 1) * 101)
-    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
-    if need > cur:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
-    return run_sql(spark, sf_dir, _RECURSIVE_HIERARCHY_SQL)
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    try:
+        if need > int(prev):
+            spark.conf.set("spark.sql.cteRecursionRowLimit", str(need))
+        return run_sql(spark, sf_dir, _RECURSIVE_HIERARCHY_SQL).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev)

@@ -606,9 +606,10 @@ def wau_rolling_distinct(spark, sf_dir):
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
-             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
-             AS slope_per_day,
+           CASE WHEN COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) != 0
+                THEN CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                   / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+           END AS slope_per_day,
            CAST(SUM(y) AS BIGINT) AS total_events
     FROM d GROUP BY event_type
     """,
@@ -622,8 +623,12 @@ def volume_trend_slope(spark, sf_dir):
     float accumulation anywhere, so the slope is one exact-integer
     expression divided by another and the hash gate can't drift on
     aggregation order (the same reason zscore_outliers uses decimal
-    moments; regr_slope's float running sums would not replay).  Two
-    partial-aggregated groupBys, state bounded by types x days."""
+    moments; regr_slope's float running sums would not replay).  A
+    single-active-day type has den = 0: the slope is undefined, and the
+    guarded division yields NULL in BOTH engines (unguarded, non-ANSI
+    Spark says NULL while IEEE-mode DuckDB says NaN/inf — a hash split
+    waiting for the right data).  Two partial-aggregated groupBys,
+    state bounded by types x days."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type",
@@ -640,6 +645,6 @@ def volume_trend_slope(spark, sf_dir):
     )
     return d.groupBy("event_type").agg(
         n.alias("n_days"),
-        (num / den).alias("slope_per_day"),
+        F.when(den != 0, num / den).alias("slope_per_day"),
         F.sum("y").alias("total_events"),
     )

@@ -171,15 +171,19 @@ def _ppjoin_prefix_frame(sh):
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", F.md5("shingle"))
     w_all = Window.partitionBy("doc_id")
+    # prefix bound in the SAME integer arithmetic as alpha: ceil(t*n) =
+    # (TP*n + TQ - 1) DIV TQ.  A float ceil happens to agree at t=0.5
+    # (dyadic) but can round a boundary case UP at other thresholds,
+    # cutting the prefix one element short and silently dropping a true
+    # pair — losslessness must not depend on the constant being dyadic.
+    tp, tq = _PPJOIN_TP, _PPJOIN_TQ
+    ceil_tn = F.expr(f"CAST(({tp} * n + {tq - 1}) DIV {tq} AS BIGINT)")
     return (
         sh.join(dfreq, "h")
         .select("doc_id", "shingle", "h", "df")
         .withColumn("pos", F.row_number().over(w_rank))
         .withColumn("n", F.count("*").over(w_all))
-        .filter(
-            F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(_PPJOIN_T) * F.col("n")) + 1
-        )
+        .filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
         .select("doc_id", "h", "n", "pos")
     )
 
@@ -229,9 +233,11 @@ def _ppjoin_candidates(prefix):
     return (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter in exact integers too: least >= t*greatest
+        # <=> TQ*least >= TP*greatest (TQ > 0), no float boundary risk
         .filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(_PPJOIN_T) * F.greatest("na", "nb")
+            F.lit(tq) * F.least("na", "nb")
+            >= F.lit(tp) * F.greatest("na", "nb")
         )
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.min("pa").alias("min_pa"), F.min("pb").alias("min_pb"))

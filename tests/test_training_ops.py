@@ -212,3 +212,90 @@ def test_ppjoin_completeness_adversarial(spark, tmp_path):
     assert got == expected
     assert (1, 2) in expected  # the at-threshold pair is really exercised
     assert (7, 8) in expected  # the multi-collision positional case too
+
+
+def test_ppjoin_prefix_bound_matches_exact_ceil():
+    """The SQL integer formula (TP*n + TQ-1) DIV TQ used for BOTH the
+    prefix bound and alpha must equal mathematical ceil(TP*n/TQ) for
+    every plausible threshold — the float F.ceil(t*n) it replaced
+    differs at e.g. t=0.1, n=20 (float says 3, truth is 2), silently
+    shortening the prefix and dropping true pairs (ADVICE round 5)."""
+    import math
+    from fractions import Fraction
+
+    for tp, tq in [(1, 2), (3, 5), (1, 10), (7, 10), (2, 3), (9, 11)]:
+        for n in range(1, 200):
+            exact = math.ceil(Fraction(tp * n, tq))
+            integer_form = (tp * n + tq - 1) // tq
+            assert integer_form == exact, (tp, tq, n)
+    # the float form really is wrong somewhere (the hazard is live, not
+    # hypothetical): t = 9/11, n = 77 -> t*n = 63 exactly, but the
+    # float product lands just above 63 and ceils to 64 — a prefix one
+    # element SHORT, i.e. silently dropped true pairs.
+    assert math.ceil(9 / 11 * 77) == 64
+    assert math.ceil(Fraction(9 * 77, 11)) == 63
+
+
+def test_ppjoin_completeness_non_dyadic_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Losslessness must survive a NON-dyadic threshold (t = 3/5): the
+    round-5 advice observed the float prefix bound was only correct
+    because t=0.5 is exactly representable.  Same brute-force oracle
+    as the adversarial test, threshold monkeypatched module-wide."""
+    import itertools
+
+    import pandas as pd
+
+    import nemscraper_spark.queries.training_data as td
+
+    monkeypatch.setattr(td, "_PPJOIN_T", 0.6)
+    monkeypatch.setattr(td, "_PPJOIN_TP", 3)
+    monkeypatch.setattr(td, "_PPJOIN_TQ", 5)
+
+    docs = [
+        # inter 3 / union 5 = 0.6: exactly AT the non-dyadic threshold
+        (1, "a b c d e f"),          # {abc, bcd, cde, def}
+        (2, "a b c d e g"),          # {abc, bcd, cde, deg}
+        # inter 2 / union 5 = 0.4 vs docs 1 and 2: below, must be pruned
+        (3, "a b c d x"),            # {abc, bcd, cdx}
+        (4, "p q r s"),              # {pqr, qrs}
+        (5, "p q r s"),              # twin, j = 1.0
+        (6, "u v w x y z"),          # disjoint filler
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    def shingles(text):
+        w = text.split(" ")
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+
+    expected = set()
+    for (da, ta), (db, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if sa and sb:
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                expected.add((min(da, db), max(da, db)))
+
+    from nemscraper_spark.queries import REGISTRY
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["jaccard_ppjoin_pairs"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected
+    assert (1, 2) in expected  # the exactly-at-0.6 pair is exercised
+    assert (4, 5) in expected
