@@ -320,14 +320,15 @@ def jaccard_ppjoin_pairs(spark, sf_dir):
       FROM sh s JOIN dfreq d ON s.shingle = d.shingle
     ),
     pref AS (SELECT doc_id, shingle, n, pos FROM ranked
-             WHERE pos <= n - CEIL({_PPJOIN_T} * n) + 1),
+             WHERE pos <= n - ({_PPJOIN_TP} * n + {_PPJOIN_TQ - 1})
+                              // {_PPJOIN_TQ} + 1),
     cand AS (
       SELECT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.n AS na, b.n AS nb,
                MIN(a.pos) AS min_pa, MIN(b.pos) AS min_pb
         FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        WHERE LEAST(a.n, b.n) >= {_PPJOIN_T} * GREATEST(a.n, b.n)
+        WHERE {_PPJOIN_TQ} * LEAST(a.n, b.n) >= {_PPJOIN_TP} * GREATEST(a.n, b.n)
         GROUP BY 1, 2, 3, 4
       )
       WHERE 1 + LEAST(na - min_pa, nb - min_pb)
