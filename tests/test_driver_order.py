@@ -146,17 +146,21 @@ def test_closure_skips_mutable_runtime_caches():
         td._SHINGLE_CACHE.pop(("__fp_test__", "x"), None)
 
 
-def test_helper_edit_changes_fingerprint(tmp_path, monkeypatch):
+def test_helper_edit_demotes_green(tmp_path, monkeypatch, fake_repo):
     """Editing a SHARED HELPER (not the query fn itself) must change the
-    query's fingerprint, so the green drops and the driver rechecks —
-    the round-5 gap that needed a manual _RECHECK_FIRST list."""
+    query's fingerprint and demote it out of _green_names(), so the
+    driver rechecks instead of letting it coast on a stale row — the
+    round-5 gap that needed a manual _RECHECK_FIRST list."""
     import importlib
+    import json
     import linecache
     import sys
     import textwrap
 
     from nemscraper_spark.queries.common import QuerySpec
 
+    write_round, _ = fake_repo
+    name = "__fp_closure_test__"
     pkg = tmp_path / "fpclosure_testpkg"
     pkg.mkdir()
     (pkg / "__init__.py").write_text("")
@@ -175,24 +179,34 @@ def test_helper_edit_changes_fingerprint(tmp_path, monkeypatch):
     mod = importlib.import_module("fpclosure_testpkg.mod")
     try:
         monkeypatch.setitem(
-            REGISTRY,
-            "__fp_closure_test__",
-            QuerySpec("__fp_closure_test__", mod.query, None),
+            REGISTRY, name, QuerySpec(name, mod.query, None)
         )
-        fp_before = entry._fingerprint("__fp_closure_test__")
+        fp_before = entry._fingerprint(name)
+        # a hash-green driver row + a blessing of the CURRENT code
+        write_round(1, {name: _green_row()})
+        (entry.Path(entry._REPO) / "QUERY_FINGERPRINTS.json").write_text(
+            json.dumps({name: fp_before})
+        )
+        assert name in entry._green_names()
 
+        # edit ONLY the helper — the query fn source is byte-identical
         (pkg / "mod.py").write_text(mod_src.format(ret=2))
         linecache.clearcache()
         mod = importlib.reload(mod)
         entry._closure_digest.cache_clear()
         monkeypatch.setitem(
-            REGISTRY,
-            "__fp_closure_test__",
-            QuerySpec("__fp_closure_test__", mod.query, None),
+            REGISTRY, name, QuerySpec(name, mod.query, None)
         )
-        fp_after = entry._fingerprint("__fp_closure_test__")
-        # query fn source is byte-identical — only the helper changed
+        fp_after = entry._fingerprint(name)
         assert fp_before != fp_after
+        # the green is gone and the query re-queues ahead of rotation
+        assert name not in entry._green_names()
+        order = entry._driver_order()
+        greens = entry._green_names()
+        first_green = next(
+            (i for i, n in enumerate(order) if n in greens), len(order)
+        )
+        assert order.index(name) < first_green
     finally:
         sys.modules.pop("fpclosure_testpkg.mod", None)
         sys.modules.pop("fpclosure_testpkg", None)
