@@ -211,3 +211,13 @@ def test_helper_edit_demotes_green(tmp_path, monkeypatch, fake_repo):
         sys.modules.pop("fpclosure_testpkg.mod", None)
         sys.modules.pop("fpclosure_testpkg", None)
         entry._closure_digest.cache_clear()
+
+
+def test_fingerprints_are_deterministic_within_session():
+    """Two cold closure sweeps over the full registry must agree —
+    pins the gc/id-reuse and lazy-submodule-import ordering hazards
+    the closure walk explicitly defends against."""
+    fp1 = {n: entry._fingerprint(n) for n in REGISTRY}
+    entry._closure_digest.cache_clear()
+    fp2 = {n: entry._fingerprint(n) for n in REGISTRY}
+    assert fp1 == fp2
