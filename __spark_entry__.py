@@ -72,9 +72,12 @@ _PERMANENT_ROWS_ONLY = frozenset(
 _PKG = "nemscraper_spark"
 
 # from/import statements inside a function body store into LOCALS, so a
-# co_names/globals walk can't see them — catch them lexically instead.
+# co_names/globals walk can't see them — catch them lexically instead
+# (both the single-line and the parenthesized multi-line forms).
 _IMPORT_FROM_RE = re.compile(
-    r"^\s*from\s+([\w.]+)\s+import\s+([\w,\s]+?)\s*$", re.M
+    r"^\s*from\s+([\w.]+)\s+import\s+"
+    r"(?:\(([^)]+)\)|([\w,\s]+?))\s*$",
+    re.M,
 )
 _IMPORT_MOD_RE = re.compile(r"^\s*import\s+([\w.]+)", re.M)
 
@@ -105,7 +108,8 @@ def _local_imports(src: str) -> list[object]:
     statements appearing in a function's source (typically lazy imports
     inside the body, invisible to the globals walk)."""
     out: list[object] = []
-    for mod_name, names in _IMPORT_FROM_RE.findall(src):
+    for mod_name, paren_names, plain_names in _IMPORT_FROM_RE.findall(src):
+        names = paren_names or plain_names
         if not mod_name.startswith(_PKG):
             continue
         try:
@@ -155,6 +159,12 @@ def _closure_parts(fn) -> dict[str, str]:
             continue
         seen.add(id(obj))
         keep.append(obj)
+        if _is_plain_const(obj):
+            # a constant reached by value (function-local `from pkg
+            # import SOME_SQL`) has no name here — key it by content
+            key = hashlib.sha256(repr(obj).encode()).hexdigest()[:12]
+            parts.setdefault(f"const:imported:{key}", repr(obj))
+            continue
         obj = inspect.unwrap(obj) if callable(obj) else obj
         if isinstance(obj, types.ModuleType):
             if obj.__name__.startswith(_PKG):
