@@ -33,6 +33,28 @@ def main() -> None:
         n for n in new if old.get(n) != new[n]
     )
     removed = sorted(n for n in old if n not in new)
+
+    # COASTING GUARD: blessing a changed fingerprint for a name that
+    # holds a hash-green driver row makes _green_names() trust the OLD
+    # row for NEW code (the q17 round-4 lesson).  Such names must be
+    # pushed through _RECHECK_FIRST so they re-earn a driver row — if
+    # they aren't, refuse unless --allow-coast is passed explicitly.
+    last_green = entry._last_green_round()
+    would_coast = sorted(
+        n
+        for n in changed
+        if n in last_green and n not in entry._RECHECK_FIRST
+    )
+    if would_coast and "--allow-coast" not in sys.argv:
+        print(
+            "REFUSING to bless: these edited queries hold hash-green "
+            "rows but are not in _RECHECK_FIRST — they would coast on "
+            "stale greens:\n  " + ", ".join(would_coast) + "\n"
+            "Add them to __spark_entry__._RECHECK_FIRST (after local "
+            "verification) or re-run with --allow-coast."
+        )
+        raise SystemExit(1)
+
     out = Path(_REPO) / "QUERY_FINGERPRINTS.json"
     out.write_text(json.dumps(new, indent=0, sort_keys=True) + "\n")
     print(f"blessed {len(new)} fingerprints -> {out}")
