@@ -39,6 +39,59 @@ from nemscraper_spark.sources.evolve import read_evolved
 MANIFEST_NAME = "_COMPACT_MANIFEST.json"
 
 
+def write_parquet_brotli(df, out_dir: str, level: int = 5) -> None:
+    """Distributed BROTLI parquet sink via pyarrow — the reference's
+    at-rest format (README.md:14-27 codec study, writer at
+    src/process/chunk.rs:367-369) on a cluster whose JVM classpath has
+    no brotli codec jar: libbrotli ships inside pyarrow, so each task
+    writes its own partition's file with pyarrow.parquet instead of
+    the JVM writer.  Arrow batches flow out of the JVM once
+    (mapInArrow — zero pandas conversion), one output file per
+    non-empty task, so the sink distributes exactly like
+    df.write.parquet.  The driver-side collect is one row per task
+    (bounded).  Spark's native reader needs the codec jar to scan the
+    result; pyarrow (and the reference itself) reads it directly —
+    this sink exists for at-rest format parity, the hot analytics
+    path stays snappy/zstd.
+
+    The task closure is self-contained (no package imports) so it
+    survives foreign-driver cloudpickle shipping."""
+    import pyarrow as pa
+
+    target = out_dir  # captured by value in the closure
+
+    def _write(batches):
+        import uuid
+
+        import pyarrow as _pa
+        import pyarrow.fs as _pafs
+        import pyarrow.parquet as _pq
+
+        if "://" in target:
+            fs, local = _pafs.FileSystem.from_uri(target)
+        else:
+            fs, local = _pafs.LocalFileSystem(), target
+        collected = [b for b in batches if b.num_rows]
+        if not collected:
+            return
+        table = _pa.Table.from_batches(collected)
+        name = f"{local.rstrip('/')}/part-{uuid.uuid4().hex}.parquet"
+        with fs.open_output_stream(name) as out:
+            _pq.write_table(
+                table,
+                out,
+                compression="BROTLI",
+                compression_level=level,
+            )
+        yield _pa.RecordBatch.from_pydict(
+            {"file": [name], "n_rows": [table.num_rows]}
+        )
+
+    fs0, local0, _ = fsutil.get_fs(out_dir)
+    fs0.create_dir(local0, recursive=True)
+    df.mapInArrow(_write, schema="file string, n_rows long").collect()
+
+
 def partitions_needing_compaction(table_root: str, min_files: int = 2) -> list[str]:
     """Partition dirs with at least ``min_files`` parquet files, plus
     any partition holding an unfinished swap (manifest present)."""
@@ -117,9 +170,19 @@ def compact_partition(
     import os as _os
 
     codec = _os.environ.get("SPARK_GRAFT_REST_CODEC", "zstd")
-    df.write.mode("overwrite").option("compression", codec).option(
-        "parquet.compression.codec.zstd.bufferPool.enabled", "false"
-    ).parquet(staging)
+    if codec.lower() == "brotli":
+        # Reference-exact at-rest format without the JVM codec jar:
+        # route the staged write through the distributed pyarrow
+        # brotli-5 sink (write_parquet_brotli).  A jar-equipped
+        # cluster can instead set codec "brotli-jvm" to use the
+        # native writer below.
+        write_parquet_brotli(df, staging, level=5)
+    else:
+        if codec.lower() == "brotli-jvm":
+            codec = "brotli"
+        df.write.mode("overwrite").option("compression", codec).option(
+            "parquet.compression.codec.zstd.bufferPool.enabled", "false"
+        ).parquet(staging)
     staged = fsutil.list_files(staging, suffix=".parquet")
     # row count from the staged footers (metadata-only, no extra job)
     import pyarrow.parquet as pq
