@@ -15,9 +15,10 @@ schedule):
 
 1. UNCHECKED / INVALIDATED first — any query without a hash-green
    CORRECTNESS row, plus any query whose (implementation source,
-   oracle) fingerprint changed since QUERY_FINGERPRINTS.json was last
-   blessed (an edited query must re-earn its green, never coast on a
-   stale row — see _green_names).
+   oracle, transitive-helper-closure) fingerprint changed since
+   QUERY_FINGERPRINTS.json was last blessed (an edited query — or an
+   edit to any shared helper it reaches — must re-earn its green,
+   never coast on a stale row — see _green_names / _closure_parts).
 2. GREEN ROTATION next, oldest-checked-first — spare window slots
    re-validate the greens that have gone longest without a driver row
    (last-green round read from the CORRECTNESS_r*.json files on disk,
