@@ -221,3 +221,65 @@ def test_fingerprints_are_deterministic_within_session():
     entry._closure_digest.cache_clear()
     fp2 = {n: entry._fingerprint(n) for n in REGISTRY}
     assert fp1 == fp2
+
+
+def test_closure_precision_unreachable_helper_ignored(
+    tmp_path, monkeypatch
+):
+    """Fingerprints must be PRECISE, not just complete: editing a
+    helper the query never reaches must NOT move its fingerprint —
+    a too-coarse digest (e.g. whole-module hashing) would demote
+    entire modules of greens on every edit and churn the rotation."""
+    import importlib
+    import linecache
+    import sys
+    import textwrap
+
+    from nemscraper_spark.queries.common import QuerySpec
+
+    name = "__fp_precision_test__"
+    pkg = tmp_path / "fpprecision_testpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    mod_src = textwrap.dedent(
+        """
+        def used_helper():
+            return {used}
+
+        def unused_helper():
+            return {unused}
+
+        def query(spark, sf_dir):
+            return used_helper()
+        """
+    )
+    (pkg / "mod.py").write_text(mod_src.format(used=1, unused=1))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(entry, "_PKG", "fpprecision_testpkg")
+    mod = importlib.import_module("fpprecision_testpkg.mod")
+
+    def reload_with(used, unused):
+        (pkg / "mod.py").write_text(
+            mod_src.format(used=used, unused=unused)
+        )
+        linecache.clearcache()
+        entry._closure_digest.cache_clear()
+        m = importlib.reload(mod)
+        monkeypatch.setitem(
+            REGISTRY, name, QuerySpec(name, m.query, None)
+        )
+        return entry._fingerprint(name)
+
+    try:
+        monkeypatch.setitem(
+            REGISTRY, name, QuerySpec(name, mod.query, None)
+        )
+        fp0 = entry._fingerprint(name)
+        # edit ONLY the unreachable helper: fingerprint must not move
+        assert reload_with(used=1, unused=2) == fp0
+        # edit the REACHED helper: fingerprint must move
+        assert reload_with(used=2, unused=2) != fp0
+    finally:
+        sys.modules.pop("fpprecision_testpkg.mod", None)
+        sys.modules.pop("fpprecision_testpkg", None)
+        entry._closure_digest.cache_clear()
