@@ -31,6 +31,7 @@ schedule):
 
 from __future__ import annotations
 
+import ast
 import functools
 import glob
 import hashlib
@@ -39,6 +40,7 @@ import inspect
 import json
 import re
 import sys
+import textwrap
 import types
 from collections.abc import Callable
 from pathlib import Path
@@ -72,26 +74,45 @@ _PERMANENT_ROWS_ONLY = frozenset(
 # constant so the unit tests can point it at a throwaway package).
 _PKG = "nemscraper_spark"
 
-# from/import statements inside a function body store into LOCALS, so a
-# co_names/globals walk can't see them — catch them lexically instead
-# (both the single-line and the parenthesized multi-line forms).
-_IMPORT_FROM_RE = re.compile(
-    r"^\s*from\s+([\w.]+)\s+import\s+"
-    r"(?:\(([^)]+)\)|([\w,\s]+?))\s*$",
-    re.M,
-)
-_IMPORT_MOD_RE = re.compile(r"^\s*import\s+([\w.]+)", re.M)
-
-# Immutable plain data only: module-level dict/list/set globals are
-# runtime caches (_SHINGLE_CACHE, sql._REGISTERED) whose repr mutates as
-# the session runs, and reprs of arbitrary objects embed memory
-# addresses — either would make fingerprints unstable.
+# Immutable plain data only — plus NON-EMPTY dicts of plain data, which
+# in this repo are always behaviour tunables (STOPWORDS, _QC_W, _KEYS):
+# editing one changes query results, so it must move the fingerprint.
+# EMPTY module-level dicts stay excluded: those are runtime caches
+# (_SHINGLE_CACHE, sql._REGISTERED, _STAGE_CACHE) that fill as the
+# session runs — admitting them would make a fingerprint computed after
+# query execution differ from the bless-time one.  (All real flows
+# compute fingerprints BEFORE any query runs — _driver_order is called
+# at import/ordering time and _closure_digest is lru-cached — so the
+# cache-mutation hazard is belt-and-braces, not load-bearing.)  Reprs
+# of arbitrary objects embed memory addresses and stay excluded.
 def _is_plain_const(val) -> bool:
     if isinstance(val, (str, bytes, int, float, bool, complex)) or val is None:
         return True
     if isinstance(val, (tuple, frozenset)):
         return all(_is_plain_const(v) for v in val)
+    if isinstance(val, dict):
+        return bool(val) and all(
+            _is_plain_const(k) and _is_plain_const(v) for k, v in val.items()
+        )
     return False
+
+
+def _const_repr(val) -> str:
+    """Deterministic canonical repr for fingerprinting: frozensets sort
+    their element reprs (the builtin repr orders by str hash, which
+    varies with PYTHONHASHSEED — a bless-vs-driver process pair would
+    disagree and permanently demote every consumer), and dicts sort
+    their items so insertion order never matters."""
+    if isinstance(val, frozenset):
+        return "frozenset({%s})" % ",".join(sorted(_const_repr(v) for v in val))
+    if isinstance(val, dict):
+        items = sorted(
+            (_const_repr(k), _const_repr(v)) for k, v in val.items()
+        )
+        return "{%s}" % ",".join(f"{k}:{v}" for k, v in items)
+    if isinstance(val, tuple):
+        return "(%s)" % ",".join(_const_repr(v) for v in val)
+    return repr(val)
 
 
 def _code_names(code) -> set[str]:
@@ -104,39 +125,57 @@ def _code_names(code) -> set[str]:
     return names
 
 
-def _local_imports(src: str) -> list[object]:
+def _local_imports(src: str, host_mod: str = "") -> list[object]:
     """Objects pulled in by `from <pkg>... import x` / `import <pkg>...`
     statements appearing in a function's source (typically lazy imports
-    inside the body, invisible to the globals walk)."""
+    inside the body, invisible to the globals walk — they store into
+    LOCALS).  AST-parsed, not regex: `import x as y`, trailing
+    comments, multi-line parenthesized forms, and relative imports all
+    resolve exactly (the round-6 regex silently dropped `x as y` — the
+    captured name failed the hasattr probe and the helper escaped
+    fingerprinting with no warning)."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return []
     out: list[object] = []
-    for mod_name, paren_names, plain_names in _IMPORT_FROM_RE.findall(src):
-        names = paren_names or plain_names
-        if not mod_name.startswith(_PKG):
-            continue
-        try:
-            mod = importlib.import_module(mod_name)
-        except ImportError:
-            continue
-        for attr in (n.strip() for n in names.split(",")):
-            if not attr:
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            mod_name = node.module or ""
+            if node.level:  # relative: resolve against the host module
+                if host_mod.count(".") + 1 < node.level:
+                    continue  # can't resolve past the package root
+                prefix = host_mod.rsplit(".", node.level)[0]
+                mod_name = f"{prefix}.{mod_name}" if mod_name else prefix
+            if not mod_name.startswith(_PKG):
                 continue
-            # `from pkg.sources import fsutil` names a SUBMODULE that
-            # may not be imported yet — hasattr would answer False cold
-            # and True after any other walk imports it (order-dependent
-            # fingerprints).  Import it explicitly first.
             try:
-                out.append(importlib.import_module(f"{mod_name}.{attr}"))
+                mod = importlib.import_module(mod_name)
+            except ImportError:
                 continue
-            except ImportError:
-                pass
-            if hasattr(mod, attr):
-                out.append(getattr(mod, attr))
-    for mod_name in _IMPORT_MOD_RE.findall(src):
-        if mod_name.startswith(_PKG):
-            try:
-                out.append(importlib.import_module(mod_name))
-            except ImportError:
-                pass
+            for alias in node.names:
+                attr = alias.name
+                if attr == "*":
+                    out.append(mod)
+                    continue
+                # `from pkg.sources import fsutil` names a SUBMODULE
+                # that may not be imported yet — hasattr would answer
+                # False cold and True after any other walk imports it
+                # (order-dependent fingerprints).  Import it first.
+                try:
+                    out.append(importlib.import_module(f"{mod_name}.{attr}"))
+                    continue
+                except ImportError:
+                    pass
+                if hasattr(mod, attr):
+                    out.append(getattr(mod, attr))
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(_PKG):
+                    try:
+                        out.append(importlib.import_module(alias.name))
+                    except ImportError:
+                        pass
     return out
 
 
@@ -163,8 +202,9 @@ def _closure_parts(fn) -> dict[str, str]:
         if _is_plain_const(obj):
             # a constant reached by value (function-local `from pkg
             # import SOME_SQL`) has no name here — key it by content
-            key = hashlib.sha256(repr(obj).encode()).hexdigest()[:12]
-            parts.setdefault(f"const:imported:{key}", repr(obj))
+            canon = _const_repr(obj)
+            key = hashlib.sha256(canon.encode()).hexdigest()[:12]
+            parts.setdefault(f"const:imported:{key}", canon)
             continue
         obj = inspect.unwrap(obj) if callable(obj) else obj
         if isinstance(obj, types.ModuleType):
@@ -205,7 +245,7 @@ def _closure_parts(fn) -> dict[str, str]:
             src = inspect.getsource(obj)
         except (OSError, TypeError):
             src = ""
-        stack.extend(_local_imports(src))
+        stack.extend(_local_imports(src, mod))
         for name in _code_names(code):
             if name not in g:
                 continue
@@ -214,8 +254,9 @@ def _closure_parts(fn) -> dict[str, str]:
                 stack.append(val)
             elif _is_plain_const(val):
                 # module-level tunables (_PPJOIN_T, SQL templates, band
-                # geometries) are behaviour — a change must invalidate
-                parts.setdefault(f"const:{mod}.{name}", repr(val))
+                # geometries, STOPWORDS/_QC_W dicts) are behaviour — a
+                # change must invalidate every consumer
+                parts.setdefault(f"const:{mod}.{name}", _const_repr(val))
     return parts
 
 
@@ -304,20 +345,14 @@ def _green_names() -> frozenset[str]:
 # (round 5 needed 7 shingle-cache names here) re-queue automatically;
 # only whole-registry re-blessings after verified edits still need the
 # explicit push past the blessing.
-_RECHECK_SINCE = 6
+_RECHECK_SINCE = 7
 _RECHECK_FIRST = (
-    "ivm_retraction_view",      # zero-multiplicity cleanup filter
-    "volume_trend_slope",       # den=0 division guard (plan + oracle)
-    "recursive_cte_hierarchy",  # scoped recursion-limit raise
-    "equidepth_histogram_price",  # approx-sketch boundaries (scale-safe
-    # primary; bit-exact form moved to equidepth_histogram_price_exact)
-    # helper-edit victims (integer prefix arithmetic in the shared
-    # PPJoin helpers).  Closure fingerprints would re-queue these on
-    # their own IF the blessing predated the edit — but round 6
-    # re-blesses the whole registry (fingerprint algorithm change), so
-    # the post-edit blessing matches and they must be pushed explicitly.
-    "jaccard_ppjoin_pairs",
-    "jaccard_ppjoin_report",
+    # plans/compact.py was edited after the round-6 blessing (ADVICE
+    # r6 item 1): verified locally, re-blessed, must re-earn its row
+    "nem_compaction_roundtrip",
+    # round-7 perf edits, locally hash-verified before re-blessing:
+    "dup_graph_core_peel",       # fused per-round count actions
+    "equidepth_histogram_price_exact",  # deterministic md5 1/16 sample
 )
 
 

@@ -489,22 +489,46 @@ def dup_graph_core_peel(spark, sf_dir):
     whole ITERATIVE loop behind the hash gate.
 
     Each round is one degree aggregate (map-side combinable) + two
-    semi joins on the (sparse) edge list.  Each round's edges are
+    semi joins on the (sparse) edge list.  Rounds 0-2's edges are
     localCheckpoint'ed — the components.py iteration pattern: every
     round references the previous edge set THREE times (degree
     aggregate + both semi joins), so without severing lineage the
     logical plan grows ~4^r copies of the whole LSH pipeline and
     Catalyst itself OOMs (observed at round 3); with it, each round
-    plans against the materialized previous round only."""
+    plans against the materialized previous round only.  Round 3 is
+    NOT checkpointed — nothing downstream re-references it, so its
+    single fused count action computes it exactly once anyway.  Each
+    round's (n_edges, n_nodes) is ONE aggregate action over the
+    unioned endpoint list (count/2 + countDistinct), not separate
+    count() + distinct().count() jobs: 7 jobs total per invocation
+    (3 eager checkpoints + 4 fused counts) vs the 12 the round-6
+    bench measured at 5.9 s."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
 
     def _ckpt_id(df):
         # the RDD a localCheckpoint persists (components.py pattern);
-        # None on unknown plan shape = leak the blocks, never guess
+        # None on unknown plan shape = leak the blocks, never guess.
+        # tests/test_corpus_graph_actions.py asserts this resolves
+        # non-None on a checkpointed frame (a silent None here would
+        # make every unpersist below a no-op and leak blocks).
         try:
             return int(df._jdf.queryExecution().analyzed().rdd().id())
         except Exception:
             return None
+
+    def _round_stats(edges):
+        # one job: each edge contributes both endpoints, so the union
+        # has exactly 2*n_edges rows and n_nodes distinct doc_ids
+        row = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+            .agg(
+                (F.count("*") / 2).cast("long").alias("e"),
+                F.countDistinct("doc_id").alias("n"),
+            )
+            .first()
+        )
+        return int(row["e"]), int(row["n"])
 
     cur = (
         lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
@@ -522,28 +546,20 @@ def dup_graph_core_peel(spark, sf_dir):
                 .agg(F.count("*").alias("dg"))
             )
             keep = deg.filter(F.col("dg") >= 2).select("doc_id")
-            cur = (
-                cur.join(
-                    keep.withColumnRenamed("doc_id", "doc_a"),
-                    "doc_a",
-                    "left_semi",
-                )
-                .join(
-                    keep.withColumnRenamed("doc_id", "doc_b"),
-                    "doc_b",
-                    "left_semi",
-                )
-                .select("doc_a", "doc_b")
-                .localCheckpoint(eager=True)
-            )
-            ckpt_ids.append(_ckpt_id(cur))
-        nodes = (
-            cur.select(F.col("doc_a").alias("doc_id"))
-            .unionAll(cur.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-            .count()
-        )
-        stats.append((r, cur.count(), nodes))
+            cur = cur.join(
+                keep.withColumnRenamed("doc_id", "doc_a"),
+                "doc_a",
+                "left_semi",
+            ).join(
+                keep.withColumnRenamed("doc_id", "doc_b"),
+                "doc_b",
+                "left_semi",
+            ).select("doc_a", "doc_b")
+            if r < 3:  # round 3 is terminal: counted once, never reused
+                cur = cur.localCheckpoint(eager=True)
+                ckpt_ids.append(_ckpt_id(cur))
+        n_edges, n_nodes = _round_stats(cur)
+        stats.append((r, n_edges, n_nodes))
     # the result is a driver-built frame — nothing downstream reads the
     # checkpointed edge sets, so free ALL their blocks now (otherwise a
     # long-lived session accumulates 4 edge-set copies per invocation)

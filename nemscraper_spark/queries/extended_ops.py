@@ -1181,11 +1181,16 @@ def equidepth_histogram_price(spark, sf_dir):
 @register(
     "equidepth_histogram_price_exact",
     oracle="""
-    WITH b AS (
+    WITH s AS (
+      SELECT l_extendedprice FROM lineitem
+      WHERE md5(CAST(l_orderkey AS VARCHAR) || '|'
+                || CAST(l_linenumber AS VARCHAR)) LIKE '0%'
+    ),
+    b AS (
       SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
              quantile_cont(l_extendedprice, 0.5) AS q2,
              quantile_cont(l_extendedprice, 0.75) AS q3
-      FROM lineitem
+      FROM s
     )
     SELECT CASE WHEN l_extendedprice <= q1 THEN 1
                 WHEN l_extendedprice <= q2 THEN 2
@@ -1194,7 +1199,7 @@ def equidepth_histogram_price(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
            CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
-    FROM lineitem, b
+    FROM s, b
     GROUP BY 1
     """,
     tags=("A-quantile", "profile", "stats", "twin"),
@@ -1207,11 +1212,29 @@ def equidepth_histogram_price_exact(spark, sf_dir):
     (bucket, n, lo, hi) histogram hash-matches cross-engine and pins
     the bucketing algorithm the production query shares.
 
-    NOT the 100 TB form: a GLOBAL exact percentile centralizes the
-    value multiset in the final aggregate (measured 10.3x wall at 20x
-    rows, OOM eventually) — that is exactly why the approx-boundary
-    variant above is the one registered as primary."""
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    Runs on a DETERMINISTIC ~1/16 HASH-SAMPLE (md5 of the primary key
+    starts with '0' — md5 is bit-identical cross-engine, and the
+    content hash is immune to TPC-H's non-uniform orderkey residues
+    that a modulo sample would alias on): the twin's job is to pin the
+    interpolation + bucketing ALGORITHM, which a sample does at full
+    fidelity, without the bench suite carrying a known-centralizing
+    plan at full sf0.1 (it was the 2nd-slowest entry at 4.5 s; the
+    round-6 verdict asked for <= ~1.5 s).  The oracle samples
+    identically, so the gate stays bit-exact.
+
+    NOT the 100 TB form even sampled: a GLOBAL exact percentile
+    centralizes the value multiset in the final aggregate (measured
+    10.3x wall at 20x rows, OOM eventually) — that is exactly why the
+    approx-boundary variant above is the one registered as primary."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).filter(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).startswith("0")
+    )
     b = li.agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("q2"),
