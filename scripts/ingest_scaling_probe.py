@@ -91,7 +91,7 @@ def main() -> None:
             f"{sz / 1e6:.1f} MB compressed / {raw / 1e6:.1f} MB raw"
         )
 
-        for n in sorted({1, min(4, n_files), n_files}):
+        for n in sorted({min(w, n_files) for w in (1, 4, 8, 16, n_files)}):
             out = os.path.join(base, f"out_{n}")
             t0 = time.perf_counter()
             counts = ingest(spark, zips[:n], out)
