@@ -283,3 +283,129 @@ def test_closure_precision_unreachable_helper_ignored(
         sys.modules.pop("fpprecision_testpkg.mod", None)
         sys.modules.pop("fpprecision_testpkg", None)
         entry._closure_digest.cache_clear()
+
+
+# ---------------------------------------------------------- round 7 --
+
+
+def test_dict_tunables_enter_the_closure():
+    """ADVICE r6: dict-valued behaviour tunables read inside function
+    bodies (STOPWORDS, _QC_W) must enter the digest — editing one
+    changes query results, so it must move the fingerprint."""
+    parts = entry._closure_parts(REGISTRY["lang_id_heuristic"].fn)
+    assert any("STOPWORDS" in k for k in parts), sorted(parts)[:20]
+
+    parts = entry._closure_parts(REGISTRY["quality_classifier_linear"].fn)
+    assert any("_QC_W" in k for k in parts), sorted(parts)[:20]
+
+
+def test_empty_dict_caches_stay_excluded():
+    """The dict admission must not pull in runtime caches: they are
+    EMPTY at fingerprint time (all real flows fingerprint before any
+    query runs) and _is_plain_const rejects empty dicts outright."""
+    assert not entry._is_plain_const({})
+    # populated with non-plain values (DataFrames, py4j objects) they
+    # stay excluded too
+    assert not entry._is_plain_const({"k": object()})
+    # non-empty all-plain = a tunable, admitted
+    assert entry._is_plain_const({"en": ("the", "a"), "w": 1.5})
+
+
+def test_const_repr_is_insertion_and_hashseed_stable():
+    """_const_repr must canonicalize: dicts sort items (insertion order
+    never matters), frozensets sort element reprs (builtin repr orders
+    by str hash, which varies with PYTHONHASHSEED)."""
+    a = {"x": 1, "y": (2.0, "z")}
+    b = {"y": (2.0, "z"), "x": 1}
+    assert entry._const_repr(a) == entry._const_repr(b)
+    fs1 = frozenset({"alpha", "beta", "gamma", "delta"})
+    fs2 = frozenset(["delta", "gamma", "beta", "alpha"])
+    assert entry._const_repr(fs1) == entry._const_repr(fs2)
+    assert "alpha" in entry._const_repr(fs1)
+
+
+def test_fingerprints_stable_across_hashseed_processes():
+    """The bless process and the driver process run with different
+    PYTHONHASHSEEDs — a digest that depends on set/dict iteration
+    order would permanently demote every affected green (ADVICE r6
+    frozenset item).  Spawn two interpreters with forced distinct
+    seeds and compare fingerprints for queries whose closures carry
+    dict tunables."""
+    import subprocess
+    import sys as _sys
+
+    prog = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "import __spark_entry__ as e; "
+        "print(e._fingerprint('lang_id_heuristic'), "
+        "e._fingerprint('quality_classifier_linear'), "
+        "e._fingerprint('jaccard_ppjoin_pairs'))"
+    )
+
+    def run(seed: str) -> str:
+        import os
+
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        out = subprocess.run(
+            [_sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd="/tmp",
+            check=True,
+        )
+        return out.stdout.strip()
+
+    assert run("1") == run("2")
+
+
+def test_aliased_local_import_enters_closure(tmp_path, monkeypatch):
+    """ADVICE r6: `from pkg.mod import helper as h` inside a function
+    body must pull helper into the closure — the round-6 regex
+    captured the literal 'helper as h', failed the hasattr probe, and
+    silently dropped it."""
+    import importlib
+    import sys
+    import textwrap
+
+    from nemscraper_spark.queries.common import QuerySpec
+
+    pkg = tmp_path / "fpalias_testpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "helpers.py").write_text(
+        "def the_helper():\n    return {v}\n".format(v=1)
+    )
+    (pkg / "mod.py").write_text(
+        textwrap.dedent(
+            """
+            def query(spark, sf_dir):
+                from fpalias_testpkg.helpers import the_helper as h  # comment
+                return h()
+            """
+        )
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(entry, "_PKG", "fpalias_testpkg")
+    name = "__fp_alias_test__"
+    try:
+        mod = importlib.import_module("fpalias_testpkg.mod")
+        monkeypatch.setitem(REGISTRY, name, QuerySpec(name, mod.query, None))
+        entry._closure_digest.cache_clear()
+        parts = entry._closure_parts(mod.query)
+        assert any("the_helper" in k for k in parts), sorted(parts)
+        fp0 = entry._fingerprint(name)
+        # editing the aliased helper must move the fingerprint
+        (pkg / "helpers.py").write_text(
+            "def the_helper():\n    return {v}\n".format(v=2)
+        )
+        importlib.reload(sys.modules["fpalias_testpkg.helpers"])
+        mod = importlib.reload(mod)
+        monkeypatch.setitem(REGISTRY, name, QuerySpec(name, mod.query, None))
+        entry._closure_digest.cache_clear()
+        assert entry._fingerprint(name) != fp0
+    finally:
+        sys.modules.pop("fpalias_testpkg.helpers", None)
+        sys.modules.pop("fpalias_testpkg.mod", None)
+        sys.modules.pop("fpalias_testpkg", None)
+        entry._closure_digest.cache_clear()
