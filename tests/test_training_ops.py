@@ -299,3 +299,31 @@ def test_ppjoin_completeness_non_dyadic_threshold(
     assert got == expected
     assert (1, 2) in expected  # the exactly-at-0.6 pair is exercised
     assert (4, 5) in expected
+
+
+def test_joinverify_equals_collectset(spark, sf_dir_oracle):
+    """The round-8 staged equi-join verify must be BIT-IDENTICAL to the
+    shipped collect_set+array_intersect verify at both registered band
+    geometries (the swap must not move a single pair, count, or
+    double) — pinned before the swap so round 8 is a one-line change
+    with pre-existing evidence."""
+    from nemscraper_spark.queries.common import fan_out, load_table
+    from nemscraper_spark.queries.training_data import (
+        lsh_verified_pairs_md5,
+        lsh_verified_pairs_md5_joinverify,
+    )
+
+    d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
+    for n_perm, band_size in ((8, 2), (16, 4)):
+        old = sorted(
+            lsh_verified_pairs_md5(
+                d, threshold=0.2, n_perm=n_perm, band_size=band_size
+            ).collect()
+        )
+        new = sorted(
+            lsh_verified_pairs_md5_joinverify(
+                d, threshold=0.2, n_perm=n_perm, band_size=band_size
+            ).collect()
+        )
+        assert old == new, (n_perm, band_size, len(old), len(new))
+        assert len(old) > 0, "degenerate corpus: no verified pairs"
