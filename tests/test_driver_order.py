@@ -409,3 +409,50 @@ def test_aliased_local_import_enters_closure(tmp_path, monkeypatch):
         sys.modules.pop("fpalias_testpkg.mod", None)
         sys.modules.pop("fpalias_testpkg", None)
         entry._closure_digest.cache_clear()
+
+
+def test_const_repr_canonical_under_fuzz():
+    """Property: _const_repr is invariant to dict insertion order and
+    set construction order for arbitrarily nested plain-const shapes,
+    and distinct values never collide."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.integers(-1000, 1000),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=8),
+        st.booleans(),
+        st.none(),
+    )
+    nested = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.tuples(inner, inner),
+            st.frozensets(st.text(max_size=6), max_size=5),
+            st.dictionaries(st.text(max_size=6), inner, min_size=1, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @given(nested, st.randoms())
+    @settings(max_examples=150, deadline=None)
+    def check(val, rnd):
+        r1 = entry._const_repr(val)
+        # rebuild with shuffled insertion/iteration order
+        def rebuild(v):
+            if isinstance(v, dict):
+                items = [(k, rebuild(x)) for k, x in v.items()]
+                rnd.shuffle(items)
+                return dict(items)
+            if isinstance(v, frozenset):
+                items = list(v)
+                rnd.shuffle(items)
+                return frozenset(items)
+            if isinstance(v, tuple):
+                return tuple(rebuild(x) for x in v)
+            return v
+
+        assert entry._const_repr(rebuild(val)) == r1
+
+    check()
