@@ -1,0 +1,197 @@
+"""Pure-Python Avro object-container sink/scan (sources/avro_py.py).
+
+Interop is the point: pyspark ships the core Apache Avro JAVA runtime
+(avro-1.12.1.jar) but not the spark-avro connector, so these tests
+prove the wire format against the OFFICIAL implementation through
+py4j — Python-written files read by org.apache.avro.file.DataFileReader,
+and Java-DataFileWriter-written files read by the Python decoder —
+rather than trusting a self-roundtrip alone.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nemscraper_spark.sources import avro_py
+
+
+def test_events_projection_roundtrip(spark, sf_dir, tmp_path):
+    """write_avro -> read_avro preserves count + exact checksums of the
+    format_roundtrip_matrix projection (the avro arm of the format
+    breadth gap, staged for the round-8 registry fold-in)."""
+    from pyspark.sql import functions as F
+
+    from nemscraper_spark.queries.common import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = str(tmp_path / "events_avro")
+    n = avro_py.write_avro(ev, out)
+    back = avro_py.read_avro(spark, out)
+    truth = ev.agg(
+        F.count("*").alias("n"),
+        (F.sum("event_id") + F.sum("user_id")).cast("long").alias("ck"),
+        F.countDistinct("event_type").alias("t"),
+    ).first()
+    got = back.agg(
+        F.count("*").alias("n"),
+        (F.sum("event_id") + F.sum("user_id")).cast("long").alias("ck"),
+        F.countDistinct("event_type").alias("t"),
+    ).first()
+    assert n == truth["n"]
+    assert (got["n"], got["ck"], got["t"]) == (
+        truth["n"],
+        truth["ck"],
+        truth["t"],
+    )
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) >= 1
+
+
+def test_python_written_file_reads_in_official_java_avro(spark, tmp_path):
+    """Cross-implementation proof, write side: a file produced by the
+    pure-Python encoder must parse in org.apache.avro's DataFileReader
+    (schema, row count, values, null handling)."""
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, -0.25, None)],
+        "id bigint, x double, s string",
+    ).coalesce(1)
+    out = str(tmp_path / "jv")
+    avro_py.write_avro(df, out)
+    path = os.path.join(
+        out, [f for f in os.listdir(out) if f.endswith(".avro")][0]
+    )
+
+    jvm = spark._jvm
+    jfile = jvm.java.io.File(path)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jfile, reader)
+    rows = []
+    while dfr.hasNext():
+        rec = dfr.next()
+        s = rec.get("s")
+        rows.append(
+            (
+                rec.get("id"),
+                rec.get("x"),
+                None if s is None else s.toString(),
+            )
+        )
+    dfr.close()
+    assert sorted(rows, key=lambda r: r[0]) == [
+        (1, 2.5, "a"),
+        (2, None, "b"),
+        (3, -0.25, None),
+    ]
+
+
+def test_java_written_file_reads_in_python_decoder(spark, tmp_path):
+    """Cross-implementation proof, read side: a file produced by the
+    official Java DataFileWriter must decode through read_avro."""
+    jvm = spark._jvm
+    schema_str = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"id","type":["null","long"]},'
+        '{"name":"s","type":["null","string"]}]}'
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_str)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    path = str(tmp_path / "java_written.avro")
+    dfw.create(schema, jvm.java.io.File(path))
+    # py4j sends python ints < 2^31 as java Integer, which the
+    # ["null","long"] union rejects (and Long.valueOf results are
+    # auto-unboxed back to python ints) — use values that only fit in
+    # a Long so py4j must transmit them as one
+    base = 1 << 40
+    for i, s in ((base + 1, "x"), (base + 2, None), (base + 3, "z")):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("s", s)
+        dfw.append(rec)
+    dfw.close()
+
+    got = sorted(
+        (r.id, r.s) for r in avro_py.read_avro(spark, path).collect()
+    )
+    assert got == [(base + 1, "x"), (base + 2, None), (base + 3, "z")]
+
+    # the module-level decoder agrees with the distributed one
+    with open(path, "rb") as fh:
+        fields, cols = avro_py.decode_container(fh.read())
+    assert [n for n, _ in fields] == ["id", "s"]
+    assert sorted(zip(cols[0], cols[1])) == [
+        (base + 1, "x"),
+        (base + 2, None),
+        (base + 3, "z"),
+    ]
+
+
+def test_type_breadth_and_nulls_roundtrip(spark, tmp_path):
+    """All in-scope kinds (long/int/double/float/boolean/string/bytes/
+    timestamp) with nulls in every column survive the roundtrip."""
+    import datetime
+
+    rows = [
+        (
+            1,
+            7,
+            1.5,
+            2.0,
+            True,
+            "αβ",
+            bytearray(b"\x00\x01"),
+            datetime.datetime(2025, 6, 1, 12, 30, 0, 123456),
+        ),
+        (None, None, None, None, None, None, None, None),
+        (
+            -(2**62),
+            -42,
+            -1e300,
+            -0.5,
+            False,
+            "",
+            bytearray(b""),
+            datetime.datetime(1969, 12, 31, 23, 59, 59),
+        ),
+    ]
+    ddl = (
+        "a bigint, b int, c double, d float, e boolean, f string, "
+        "g binary, h timestamp_ntz"
+    )
+    df = spark.createDataFrame(rows, ddl).coalesce(1)
+    out = str(tmp_path / "breadth")
+    avro_py.write_avro(df, out)
+    back = avro_py.read_avro(spark, out)
+    assert back.schema.simpleString() == df.schema.simpleString()
+    a = sorted(df.collect(), key=lambda r: (r.a is None, r.a or 0))
+    b = sorted(back.collect(), key=lambda r: (r.a is None, r.a or 0))
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_out_of_scope_type_is_refused(spark):
+    df = spark.createDataFrame([([1, 2],)], "arr array<int>")
+    with pytest.raises(ValueError, match="avro_py scope"):
+        avro_py.fields_for(df.schema)
+
+
+def test_inline_and_module_encoders_agree(spark, tmp_path):
+    """The self-contained task-closure encoder and the module-level
+    write_container must produce byte-identical files (same payload,
+    same content-derived sync marker) — the twins cannot drift."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id bigint, s string"
+    ).coalesce(1)
+    out = str(tmp_path / "twins")
+    avro_py.write_avro(df, out)
+    path = os.path.join(
+        out, [f for f in os.listdir(out) if f.endswith(".avro")][0]
+    )
+    with open(path, "rb") as fh:
+        distributed = fh.read()
+    fields = avro_py.fields_for(df.schema)
+    cols = [[1, 2], ["a", None]]
+    module_level = avro_py.write_container(fields, cols, 2)
+    assert distributed == module_level
