@@ -195,3 +195,72 @@ def test_inline_and_module_encoders_agree(spark, tmp_path):
     cols = [[1, 2], ["a", None]]
     module_level = avro_py.write_container(fields, cols, 2)
     assert distributed == module_level
+
+
+def test_codec_fuzz_roundtrip():
+    """Property: encode_rows/decode_container roundtrip arbitrary
+    in-scope values bit-exactly, across the full 64-bit int domain,
+    unicode strings, arbitrary bytes, and nulls anywhere."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cols = st.one_of(
+        st.tuples(
+            st.just("long"),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.integers(-(2**63), 2**63 - 1),
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        st.tuples(
+            st.just("double"),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False),
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        st.tuples(
+            st.just("string"),
+            st.lists(st.one_of(st.none(), st.text(max_size=20)), min_size=1, max_size=8),
+        ),
+        st.tuples(
+            st.just("bytes"),
+            st.lists(
+                st.one_of(st.none(), st.binary(max_size=20)),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        st.tuples(
+            st.just("boolean"),
+            st.lists(st.one_of(st.none(), st.booleans()), min_size=1, max_size=8),
+        ),
+    )
+
+    @given(st.lists(cols, min_size=1, max_size=4))
+    @settings(max_examples=200, deadline=None)
+    def check(column_specs):
+        n = min(len(vals) for _, vals in column_specs)
+        fields = [(f"c{i}", k) for i, (k, _) in enumerate(column_specs)]
+        columns = [vals[:n] for _, vals in column_specs]
+        data = avro_py.write_container(fields, columns, n)
+        f2, cols2 = avro_py.decode_container(data)
+        assert f2 == fields
+        assert cols2 == columns
+
+    check()
+
+
+def test_zigzag_boundaries():
+    for n in (0, -1, 1, 2**63 - 1, -(2**63), 63, -64, 2**31, -(2**31) - 1):
+        enc = avro_py.zigzag_encode(n)
+        dec, pos = avro_py.zigzag_decode(memoryview(enc), 0)
+        assert dec == n and pos == len(enc), n
