@@ -171,15 +171,25 @@ def encode_rows(fields, columns, n_rows: int) -> bytes:
     return bytes(out)
 
 
-def write_container(fields, columns, n_rows: int) -> bytes:
+def write_container(
+    fields, columns, n_rows: int, codec: str = "null"
+) -> bytes:
     """One complete Avro object-container file as bytes.  The sync
     marker is derived from the payload digest, so retried tasks
-    produce byte-identical files."""
+    produce byte-identical files.  codec: "null" (stored) or
+    "deflate" (raw RFC-1951 per block, the spec's REQUIRED codec —
+    stdlib zlib, readable by every Avro implementation)."""
     import hashlib
+    import zlib
 
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro_py scope: codec {codec!r}")
     sj = schema_json(fields)
     payload = encode_rows(fields, columns, n_rows)
     sync = hashlib.md5(sj.encode() + payload).digest()
+    if codec == "deflate":
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
     buf = io.BytesIO()
     buf.write(MAGIC)
     # file metadata map: one block of 2 entries, then end-of-map
@@ -187,7 +197,7 @@ def write_container(fields, columns, n_rows: int) -> bytes:
     buf.write(_enc_str("avro.schema"))
     buf.write(_enc_bytes(sj.encode("utf-8")))
     buf.write(_enc_str("avro.codec"))
-    buf.write(_enc_bytes(b"null"))
+    buf.write(_enc_bytes(codec.encode()))
     buf.write(zigzag_encode(0))
     buf.write(sync)
     if n_rows:
@@ -264,8 +274,8 @@ def parse_header(data: bytes):
             vl, pos = zigzag_decode(buf, pos)
             meta[key] = bytes(buf[pos : pos + vl])
             pos += vl
-    codec = meta.get("avro.codec", b"null")
-    if codec != b"null":
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
         raise ValueError(f"avro_py scope: codec {codec!r} not supported")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     if schema.get("type") != "record":
@@ -285,12 +295,14 @@ def parse_header(data: bytes):
             nullable.append(None)  # not a union: no branch index on wire
     sync = bytes(buf[pos : pos + 16])
     pos += 16
-    return fields, nullable, sync, pos
+    return fields, nullable, sync, pos, codec
 
 
 def decode_container(data: bytes):
     """-> (fields, columns) decoded from one container file."""
-    fields, nullable, sync, pos = parse_header(data)
+    import zlib
+
+    fields, nullable, sync, pos, codec = parse_header(data)
     buf = memoryview(data)
     decs = [_decoder_for(k) for _, k in fields]
     cols: list[list] = [[] for _ in fields]
@@ -299,21 +311,34 @@ def decode_container(data: bytes):
         n_rows, pos = zigzag_decode(buf, pos)
         blen, pos = zigzag_decode(buf, pos)
         end = pos + blen
+        if codec == "deflate":
+            block = memoryview(
+                zlib.decompress(bytes(buf[pos:end]), wbits=-15)
+            )
+            bpos = 0
+        else:
+            block, bpos = buf, pos
         for _ in range(n_rows):
             for ci, dec in enumerate(decs):
                 if nullable[ci] is None:
-                    v, pos = dec(buf, pos)
+                    v, bpos = dec(block, bpos)
                     cols[ci].append(v)
                     continue
-                ix, pos = zigzag_decode(buf, pos)
+                ix, bpos = zigzag_decode(block, bpos)
                 is_null = (ix == 0) == nullable[ci]
                 if is_null:
                     cols[ci].append(None)
                 else:
-                    v, pos = dec(buf, pos)
+                    v, bpos = dec(block, bpos)
                     cols[ci].append(v)
-        if pos != end:
-            raise ValueError("avro block length mismatch")
+        if codec == "deflate":
+            if bpos != len(block):
+                raise ValueError("avro block length mismatch")
+            pos = end
+        else:
+            if bpos != end:
+                raise ValueError("avro block length mismatch")
+            pos = bpos
         if bytes(buf[pos : pos + 16]) != sync:
             raise ValueError("avro sync marker mismatch")
         pos += 16
@@ -339,14 +364,19 @@ def _pa_type(kind: str):
     }[kind]
 
 
-def write_avro(df, out_dir: str) -> int:
+def write_avro(df, out_dir: str, codec: str = "null") -> int:
     """Distributed Avro sink: one object-container file per non-empty
     task (mapInArrow — Arrow batches leave the JVM once), exactly the
-    write_parquet_brotli pattern.  Returns total rows written."""
+    write_parquet_brotli pattern.  codec: "null" or "deflate" (raw
+    RFC-1951 per block via stdlib zlib — the spec's required
+    compression codec, readable by every Avro implementation).
+    Returns total rows written."""
     import os
 
     import pyarrow as pa  # noqa: F401  (driver-side availability check)
 
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro_py scope: codec {codec!r}")
     fields = fields_for(df.schema)
     target = out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -363,6 +393,7 @@ def write_avro(df, out_dir: str) -> int:
         import io as _io
         import struct as _struct
         import uuid
+        import zlib as _zlib
 
         import pyarrow as _pa
 
@@ -418,13 +449,16 @@ def write_avro(df, out_dir: str) -> int:
                     payload += enc(v)
         payload = bytes(payload)
         sync = hashlib.md5(sj.encode() + payload).digest()
+        if codec == "deflate":
+            co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
         buf = _io.BytesIO()
         buf.write(b"Obj\x01")
         buf.write(zz(2))
         buf.write(enc_bytes(b"avro.schema"))
         buf.write(enc_bytes(sj.encode("utf-8")))
         buf.write(enc_bytes(b"avro.codec"))
-        buf.write(enc_bytes(b"null"))
+        buf.write(enc_bytes(codec.encode()))
         buf.write(zz(0))
         buf.write(sync)
         if n_rows:
@@ -460,7 +494,7 @@ def read_avro(spark, path: str):
         raise FileNotFoundError(f"no .avro files under {path!r}")
     with open(paths[0], "rb") as fh:
         head = fh.read(1 << 20)  # header is well under 1 MiB
-    fields, _, _, _ = parse_header(head)
+    fields = parse_header(head)[0]
 
     import pyarrow as pa
 
@@ -478,6 +512,7 @@ def read_avro(spark, path: str):
     def _decode(batches):
         import json as _json
         import struct as _struct
+        import zlib as _zlib
 
         import pyarrow as _pa
 
@@ -548,8 +583,9 @@ def read_avro(spark, path: str):
                         vl, pos = unzz(buf, pos)
                         meta[key] = bytes(buf[pos : pos + vl])
                         pos += vl
-                if meta.get("avro.codec", b"null") != b"null":
-                    raise ValueError("avro_py scope: non-null codec")
+                codec = meta.get("avro.codec", b"null").decode()
+                if codec not in ("null", "deflate"):
+                    raise ValueError(f"avro_py scope: codec {codec!r}")
                 schema = _json.loads(meta["avro.schema"].decode())
                 f_fields = []
                 null_first = []
@@ -575,20 +611,33 @@ def read_avro(spark, path: str):
                     n_rows, pos = unzz(buf, pos)
                     blen, pos = unzz(buf, pos)
                     end = pos + blen
+                    if codec == "deflate":
+                        block = memoryview(
+                            _zlib.decompress(bytes(buf[pos:end]), wbits=-15)
+                        )
+                        bpos = 0
+                    else:
+                        block, bpos = buf, pos
                     for _ in range(n_rows):
                         for ci, dec in enumerate(decs):
                             if null_first[ci] is None:
-                                v, pos = dec(buf, pos)
+                                v, bpos = dec(block, bpos)
                                 cols[ci].append(v)
                                 continue
-                            ix, pos = unzz(buf, pos)
+                            ix, bpos = unzz(block, bpos)
                             if (ix == 0) == null_first[ci]:
                                 cols[ci].append(None)
                             else:
-                                v, pos = dec(buf, pos)
+                                v, bpos = dec(block, bpos)
                                 cols[ci].append(v)
-                    if pos != end:
-                        raise ValueError("avro block length mismatch")
+                    if codec == "deflate":
+                        if bpos != len(block):
+                            raise ValueError("avro block length mismatch")
+                        pos = end
+                    else:
+                        if bpos != end:
+                            raise ValueError("avro block length mismatch")
+                        pos = bpos
                     if bytes(buf[pos : pos + 16]) != sync:
                         raise ValueError("avro sync marker mismatch")
                     pos += 16

@@ -264,3 +264,43 @@ def test_zigzag_boundaries():
         enc = avro_py.zigzag_encode(n)
         dec, pos = avro_py.zigzag_decode(memoryview(enc), 0)
         assert dec == n and pos == len(enc), n
+
+
+def test_deflate_codec_roundtrip_and_java_reads_it(spark, tmp_path):
+    """The spec's required compression codec: deflate blocks roundtrip
+    through the Python decoder AND parse in the official Java reader
+    (DeflateCodec ships in avro core), and the file is actually
+    smaller than its stored-codec twin on repetitive data."""
+    rows = [(i, "the quick brown fox " * 5) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, s string").coalesce(1)
+    out_null = str(tmp_path / "c_null")
+    out_defl = str(tmp_path / "c_defl")
+    avro_py.write_avro(df, out_null, codec="null")
+    avro_py.write_avro(df, out_defl, codec="deflate")
+
+    def one(d):
+        return os.path.join(
+            d, [f for f in os.listdir(d) if f.endswith(".avro")][0]
+        )
+
+    assert os.path.getsize(one(out_defl)) < os.path.getsize(one(out_null)) / 5
+
+    back = avro_py.read_avro(spark, out_defl)
+    assert back.count() == 2000
+    assert sorted(r.id for r in back.collect()) == list(range(2000))
+
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(one(out_defl)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    first = None
+    while dfr.hasNext():
+        rec = dfr.next()
+        if first is None:
+            first = (rec.get("id"), rec.get("s").toString())
+        n += 1
+    dfr.close()
+    assert n == 2000
+    assert first == (0, "the quick brown fox " * 5)
