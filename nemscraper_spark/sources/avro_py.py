@@ -487,8 +487,11 @@ def read_avro(spark, path: str):
     import os
 
     paths = sorted(
-        _glob.glob(os.path.join(path, "*.avro"))
-        or _glob.glob(path)
+        p
+        for p in (
+            _glob.glob(os.path.join(path, "*.avro")) or _glob.glob(path)
+        )
+        if os.path.isfile(p)
     )
     if not paths:
         raise FileNotFoundError(f"no .avro files under {path!r}")

@@ -304,3 +304,64 @@ def test_deflate_codec_roundtrip_and_java_reads_it(spark, tmp_path):
     dfr.close()
     assert n == 2000
     assert first == (0, "the quick brown fox " * 5)
+
+
+def test_corrupt_inputs_fail_loudly(spark, tmp_path):
+    """Truncated payloads, flipped sync markers and bad magic must
+    raise, never return partial rows — a silent short read in a dedup
+    input corrupts everything downstream."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(50)], "id bigint, s string"
+    ).coalesce(1)
+    out = str(tmp_path / "good")
+    avro_py.write_avro(df, out)
+    path = os.path.join(
+        out, [f for f in os.listdir(out) if f.endswith(".avro")][0]
+    )
+    good = open(path, "rb").read()
+
+    with pytest.raises(ValueError, match="magic"):
+        avro_py.decode_container(b"NOPE" + good[4:])
+
+    flipped = bytearray(good)
+    flipped[-1] ^= 0xFF  # last sync byte
+    with pytest.raises(ValueError, match="sync"):
+        avro_py.decode_container(bytes(flipped))
+
+    with pytest.raises((ValueError, IndexError)):
+        avro_py.decode_container(good[: len(good) - 20])
+
+
+def test_schema_drift_across_files_is_refused(spark, tmp_path):
+    """read_avro derives the scan schema from the first file; a file
+    with different field names in the same directory must fail the
+    scan, not silently misalign columns."""
+    d = str(tmp_path / "mixed")
+    avro_py.write_avro(
+        spark.createDataFrame([(1, "a")], "id bigint, s string").coalesce(1),
+        d,
+    )
+    avro_py.write_avro(
+        spark.createDataFrame([(1, "a")], "other bigint, s string").coalesce(1),
+        d,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        avro_py.read_avro(spark, d).collect()
+    assert "drift" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_empty_write_yields_no_files_and_read_refuses(spark, tmp_path):
+    """A zero-row frame writes no container files (empty tasks yield
+    nothing, matching the brotli sink contract) and read_avro on the
+    empty directory raises FileNotFoundError instead of returning an
+    empty frame of guessed schema."""
+    d = str(tmp_path / "empty")
+    n = avro_py.write_avro(
+        spark.createDataFrame([], "id bigint, s string"), d
+    )
+    assert n == 0
+    assert [f for f in os.listdir(d) if f.endswith(".avro")] == []
+    with pytest.raises(FileNotFoundError):
+        avro_py.read_avro(spark, d)
