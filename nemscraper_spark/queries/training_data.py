@@ -764,48 +764,30 @@ def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
 
 def lsh_verified_pairs_md5(d, threshold: float, n_perm: int = 8, band_size: int = 2):
     """The md5 (oracle-portable) LSH pipeline over a (doc_id, text)
-    frame: md5-LSH candidates (lsh_candidate_sets_md5, parameterized
-    band geometry) → pair-local set-intersect exact-Jaccard verify ≥
-    threshold. Used by minhash_lsh_pairs_md5 (8, 2), the
+    frame: md5-LSH band candidates → exact-Jaccard verify ≥ threshold
+    in the ORACLE'S OWN shape — candidates joined back to the shingle
+    table on equal shingle, groupBy-count n_common, Jaccard from
+    per-doc shingle counts.  Used by minhash_lsh_pairs_md5 (8, 2), the
     production-geometry primaries minhash_lsh_pairs / dedup_groups_lsh
     (16, 4), and the hash-gated dup-group closure
-    (corpus_ops.dedup_groups_lsh_md5)."""
-    pairs = lsh_candidate_sets_md5(d, n_perm, band_size)
-    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
-    jac = n_common.cast("double") / (
-        F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
-    )
-    return (
-        pairs.filter(jac >= threshold)
-        .select("doc_a", "doc_b", n_common.alias("n_common"), jac.alias("jaccard"))
-    )
+    (corpus_ops.dedup_groups_lsh_md5).
 
-
-def lsh_verified_pairs_md5_joinverify(
-    d, threshold: float, n_perm: int = 8, band_size: int = 2
-):
-    """ROUND-8 STAGED replacement for lsh_verified_pairs_md5: same
-    candidates, but the exact-Jaccard verify is the ORACLE'S OWN shape
-    — candidates joined back to the shingle table on equal shingle,
-    groupBy-count n_common, Jaccard from per-doc shingle counts —
-    instead of collect_set + array_intersect.  Measured bit-identical
-    at sf0.1 (254/254 pairs) and ~35% faster (0.97s vs 1.49s,
-    BASELINE.md round-7 stage profile), and it removes the per-doc
-    collect_set arrays: at 100 TB a single pathological document no
-    longer materializes its whole shingle set in one aggregation
-    buffer — the equi-join form shuffles bounded (doc, shingle) rows.
-
-    NOT yet wired into any registered query: swapping it into
-    lsh_verified_pairs_md5 changes the fingerprint closure of ~12
-    dedup-family greens, which would displace the round-7 stale-green
-    rotation window.  Round 8 makes the one-line swap, re-verifies the
-    family, lists the consumers in _RECHECK_FIRST, re-blesses.
-    Bit-equality with the shipped form is pinned NOW by
-    tests/test_training_ops.py::test_joinverify_equals_collectset.
+    The equi-join verify replaced the collect_set+array_intersect form
+    in round 8 (staged + bit-equality-pinned in round 7: identical
+    pairs/counts/doubles at both registered geometries, 254/254 pairs
+    at sf0.1, ~35% faster — BASELINE.md round-7 stage profile).  The
+    scale win is the important part: no per-doc shingle SET is ever
+    materialized in an aggregation buffer, so at 100 TB a single
+    pathological document costs bounded (doc, shingle) shuffle rows
+    instead of one executor-resident array — the acknowledged
+    memory/skew hazard of the old form (round-7 verdict, "What's
+    wrong" #1).  The old form survives as an inline reference
+    implementation in tests/test_training_ops.py::
+    test_verify_matches_collectset_reference.
 
     Semantics note: the inner join emits no row for a candidate pair
-    with zero common shingles (the collect_set form emits n_common=0
-    and relies on the threshold filter).  Equivalent for every real
+    with zero common shingles (the collect_set form emitted n_common=0
+    and relied on the threshold filter).  Equivalent for every real
     call site: a bucket collision means equal min-md5 within the band,
     so the pair shares its argmin shingle and n_common >= 1; and all
     registered thresholds are >= 0.2 anyway."""

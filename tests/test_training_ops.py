@@ -301,29 +301,48 @@ def test_ppjoin_completeness_non_dyadic_threshold(
     assert (4, 5) in expected
 
 
-def test_joinverify_equals_collectset(spark, sf_dir_oracle):
-    """The round-8 staged equi-join verify must be BIT-IDENTICAL to the
-    shipped collect_set+array_intersect verify at both registered band
-    geometries (the swap must not move a single pair, count, or
-    double) — pinned before the swap so round 8 is a one-line change
-    with pre-existing evidence."""
+def test_verify_matches_collectset_reference(spark, sf_dir_oracle):
+    """The shipped equi-join exact-Jaccard verify must be BIT-IDENTICAL
+    to the retired collect_set+array_intersect form at both registered
+    band geometries (not a single pair, count, or double may move).
+    The old form lives on HERE as an inline reference implementation —
+    it is correct but materializes one shingle array per doc in an
+    aggregation buffer, the 100 TB memory/skew hazard the round-8 swap
+    removed (round-7 verdict, "What's wrong" #1)."""
+    from pyspark.sql import functions as F
+
     from nemscraper_spark.queries.common import fan_out, load_table
     from nemscraper_spark.queries.training_data import (
+        lsh_candidate_sets_md5,
         lsh_verified_pairs_md5,
-        lsh_verified_pairs_md5_joinverify,
     )
+
+    def collectset_reference(d, threshold, n_perm, band_size):
+        pairs = lsh_candidate_sets_md5(d, n_perm, band_size)
+        n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+        jac = n_common.cast("double") / (
+            F.size("sa").cast("bigint")
+            + F.size("sb").cast("bigint")
+            - n_common
+        )
+        return pairs.filter(jac >= threshold).select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            jac.alias("jaccard"),
+        )
 
     d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
     for n_perm, band_size in ((8, 2), (16, 4)):
-        old = sorted(
+        ref = sorted(
+            collectset_reference(
+                d, threshold=0.2, n_perm=n_perm, band_size=band_size
+            ).collect()
+        )
+        got = sorted(
             lsh_verified_pairs_md5(
                 d, threshold=0.2, n_perm=n_perm, band_size=band_size
             ).collect()
         )
-        new = sorted(
-            lsh_verified_pairs_md5_joinverify(
-                d, threshold=0.2, n_perm=n_perm, band_size=band_size
-            ).collect()
-        )
-        assert old == new, (n_perm, band_size, len(old), len(new))
-        assert len(old) > 0, "degenerate corpus: no verified pairs"
+        assert ref == got, (n_perm, band_size, len(ref), len(got))
+        assert len(ref) > 0, "degenerate corpus: no verified pairs"
