@@ -74,6 +74,19 @@ _PERMANENT_ROWS_ONLY = frozenset(
 # constant so the unit tests can point it at a throwaway package).
 _PKG = "nemscraper_spark"
 
+# Fingerprint ALGORITHM version, embedded in every digest payload.  Bump
+# it whenever the fingerprinting machinery itself changes (closure walk,
+# canonical reprs, payload layout): every stored digest then mismatches
+# mechanically, so an algorithm re-bless is distinguishable in the
+# QUERY_FINGERPRINTS.json history from a behavior re-bless — the round-7
+# verdict's audit gap ("nothing in the repo distinguishes an algorithm
+# re-bless from a behavior re-bless except prose").  gen_fingerprints.py
+# logs every blessing (version, changed names, --allow-coast, reason) to
+# PROGRESS.jsonl.
+#   v2 (round 8): version field introduced; _local_imports beyond-root
+#      relative-import guard fixed (ADVICE r7).
+_FP_ALGO_VERSION = "v2"
+
 # Immutable plain data only — plus NON-EMPTY dicts of plain data, which
 # in this repo are always behaviour tunables (STOPWORDS, _QC_W, _KEYS):
 # editing one changes query results, so it must move the fingerprint.
@@ -143,8 +156,15 @@ def _local_imports(src: str, host_mod: str = "") -> list[object]:
         if isinstance(node, ast.ImportFrom):
             mod_name = node.module or ""
             if node.level:  # relative: resolve against the host module
-                if host_mod.count(".") + 1 < node.level:
-                    continue  # can't resolve past the package root
+                # A plain host module `pkg.mod` supports at most
+                # level == count(".") dots-only ascents (level 1 = its
+                # own package `pkg`); anything deeper is Python's
+                # "beyond top-level package" error — skip it rather
+                # than mis-attributing the import to a shallower
+                # module (the round-7 ADVICE off-by-one: level ==
+                # dots+1 slipped through and resolved to the root).
+                if host_mod.count(".") < node.level:
+                    continue
                 prefix = host_mod.rsplit(".", node.level)[0]
                 mod_name = f"{prefix}.{mod_name}" if mod_name else prefix
             if not mod_name.startswith(_PKG):
@@ -280,7 +300,13 @@ def _fingerprint(name: str) -> str:
     except (OSError, TypeError):  # source unavailable (REPL, C ext)
         src = spec.fn.__qualname__
     payload = (
-        src + "\x00" + (spec.oracle or "") + "\x00" + _closure_digest(spec.fn)
+        _FP_ALGO_VERSION
+        + "\x00"
+        + src
+        + "\x00"
+        + (spec.oracle or "")
+        + "\x00"
+        + _closure_digest(spec.fn)
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
@@ -345,15 +371,16 @@ def _green_names() -> frozenset[str]:
 # (round 5 needed 7 shingle-cache names here) re-queue automatically;
 # only whole-registry re-blessings after verified edits still need the
 # explicit push past the blessing.
-_RECHECK_SINCE = 7
-_RECHECK_FIRST = (
-    # plans/compact.py was edited after the round-6 blessing (ADVICE
-    # r6 item 1): verified locally, re-blessed, must re-earn its row
-    "nem_compaction_roundtrip",
-    # round-7 perf edits, locally hash-verified before re-blessing:
-    "dup_graph_core_peel",       # fused per-round count actions
-    "equidepth_histogram_price_exact",  # deterministic md5 1/16 sample
-)
+# Round 8: EMPTY by design.  Every behavior-touched name this round
+# (the LSH verify swap consumers, the avro logical-type fixes, the
+# concat null-parity edit) is instead HELD OUT of the blessing
+# (scripts/gen_fingerprints.py --hold), so fingerprint invalidation —
+# not a hand-written list — pushes each one through the driver's
+# unchecked tier.  The round-7 verdict required exactly this: the
+# bless must never precede the green.  (The round-7 entries below are
+# gone because all three recorded hash-green r7 rows.)
+_RECHECK_SINCE = 8
+_RECHECK_FIRST: tuple[str, ...] = ()
 
 
 def _forced_rechecks() -> list[str]:

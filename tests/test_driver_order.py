@@ -82,10 +82,17 @@ def test_rotation_is_oldest_green_first(fake_repo):
     assert order.index(names[2]) < order.index(names[0]) < order.index(names[1])
 
 
-def test_forced_recheck_expires_on_clean_row(fake_repo):
+def test_forced_recheck_expires_on_clean_row(fake_repo, monkeypatch):
+    # The round-8 list is empty by design (behavior edits go through
+    # --hold invalidation instead) — pin the MECHANISM with a synthetic
+    # list: one oracle-bearing name, one rows-only name.
     write_round, bless = fake_repo
+    synth = [n for n in REGISTRY if REGISTRY[n].oracle is not None][:1] + [
+        n for n in REGISTRY if REGISTRY[n].oracle is None
+    ][:1]
+    monkeypatch.setattr(entry, "_RECHECK_FIRST", tuple(synth))
     forced = [n for n in entry._RECHECK_FIRST if n in REGISTRY]
-    assert forced, "recheck list empty — update the test with the round's list"
+    assert forced
     bless(list(REGISTRY))
     # no round >= _RECHECK_SINCE on disk: every forced name queues first
     assert entry._forced_rechecks() == forced
@@ -456,3 +463,54 @@ def test_const_repr_canonical_under_fuzz():
         assert entry._const_repr(rebuild(val)) == r1
 
     check()
+
+
+def test_fp_algo_version_moves_every_digest(monkeypatch):
+    """The fingerprint-algorithm version is part of the digest payload
+    (round-7 verdict item 3): bumping it must move EVERY fingerprint,
+    so an algorithm re-bless is mechanically distinguishable in the
+    QUERY_FINGERPRINTS.json history from a behavior re-bless."""
+    name = next(iter(REGISTRY))
+    fp_now = entry._fingerprint(name)
+    monkeypatch.setattr(entry, "_FP_ALGO_VERSION", "vTEST")
+    assert entry._fingerprint(name) != fp_now
+    monkeypatch.undo()
+    assert entry._fingerprint(name) == fp_now
+
+
+def test_beyond_root_relative_import_skipped(tmp_path, monkeypatch):
+    """ADVICE r7: from host module 'pkg.mod' (depth 1), a level-2
+    relative import is Python's 'beyond top-level package' error — the
+    old guard (dots+1 < level) let exactly level==dots+1 through and
+    rsplit attributed it to the package root, polluting the closure
+    with a wrong module.  It must be skipped; the valid level-1 form
+    must still resolve."""
+    import textwrap
+
+    pkg = tmp_path / "fprel_testpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "helpers.py").write_text("def the_helper():\n    return 1\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(entry, "_PKG", "fprel_testpkg")
+
+    beyond = textwrap.dedent(
+        """
+        def query():
+            from .. import helpers
+            return helpers
+        """
+    )
+    assert entry._local_imports(beyond, "fprel_testpkg.mod") == []
+
+    valid = textwrap.dedent(
+        """
+        def query():
+            from . import helpers
+            return helpers.the_helper()
+        """
+    )
+    got = entry._local_imports(valid, "fprel_testpkg.mod")
+    assert any(
+        getattr(m, "__name__", "") == "fprel_testpkg.helpers" for m in got
+    ), got
