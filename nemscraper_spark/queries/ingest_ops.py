@@ -348,28 +348,38 @@ _FMT_ORACLE_ROW = """
 @register(
     "format_roundtrip_matrix",
     oracle=" UNION ALL ".join(
-        _FMT_ORACLE_ROW.format(fmt=f) for f in ("csv", "json", "orc")
+        _FMT_ORACLE_ROW.format(fmt=f)
+        for f in ("avro", "avro_deflate", "csv", "json", "orc")
     ),
     tags=("S7", "S8", "formats"),
 )
 def format_roundtrip_matrix(spark, sf_dir):
-    """Columnar/row sink+scan breadth beyond parquet: the same events
-    projection written to ORC, JSON-lines and CSV, read back through
-    each format's scan, and reduced to count + exact-BIGINT checksums
-    that must agree with the source table row-for-row (the oracle
-    computes them straight off the parquet).  This is the
-    interchange-format matrix a 100 TB shop actually runs — ORC for
-    engines that demand it, JSONL for event-bus compatibility, CSV for
-    the long tail — and the checksum proves none of the three
-    round-trips drops, duplicates, or corrupts a row.
+    """Columnar/row sink+scan breadth beyond parquet — ONE matrix
+    entry per interchange format (COVERAGE.md's round-8 promise): the
+    same events projection written to Avro (null + deflate codecs),
+    ORC, JSON-lines and CSV, read back through each format's scan, and
+    reduced to count + exact-BIGINT checksums that must agree with the
+    source table row-for-row (the oracle computes them straight off
+    the parquet).  This is the interchange-format matrix a 100 TB shop
+    actually runs — Avro for schema-registry shops, ORC for engines
+    that demand it, JSONL for event-bus compatibility, CSV for the
+    long tail — and the checksum proves none of the five round-trips
+    drops, duplicates, or corrupts a row.
+
+    The Avro arms need no spark-avro connector jar:
+    sources/avro_py.py implements the Avro 1.12 object-container spec
+    in pure Python, distributed via mapInArrow (one container file per
+    non-empty task, the brotli-sink pattern), wire-format-proven
+    against the OFFICIAL Java implementation on Spark's own classpath
+    in both directions (tests/test_avro_py.py).
 
     The projection sticks to lossless-in-every-format types (two
     BIGINTs + a string): floats/timestamps in text formats are a
     FORMATTING contract, not a data one, and the typed ETL path for
-    those stays parquet (S7).  spark-avro is an external jar not
-    shipped in pyspark's jars/ — Avro is the documented gap here, same
-    class as the brotli codec jar (BASELINE.md).  Staged once per
-    session; each scan is format-pruned to the three columns."""
+    those stays parquet (S7).  Staged once per session; each scan is
+    format-pruned to the three columns."""
+    from nemscraper_spark.sources.avro_py import read_avro, write_avro
+
     key = (spark.sparkContext.applicationId, str(sf_dir))
     stage = _FMT_STAGE.get(key)
     ev = load_table(spark, sf_dir, "events").select(
@@ -382,76 +392,18 @@ def format_roundtrip_matrix(spark, sf_dir):
         )
         ev.write.mode("overwrite").json(os.path.join(stage, "json"))
         ev.write.mode("overwrite").orc(os.path.join(stage, "orc"))
+        write_avro(ev, os.path.join(stage, "avro"), codec="null")
+        write_avro(ev, os.path.join(stage, "avro_deflate"), codec="deflate")
         _FMT_STAGE[key] = stage
     schema = "event_id long, user_id long, event_type string"
     reads = {
+        "avro": read_avro(spark, os.path.join(stage, "avro")),
+        "avro_deflate": read_avro(spark, os.path.join(stage, "avro_deflate")),
         "csv": spark.read.schema(schema)
         .option("header", "true")
         .csv(os.path.join(stage, "csv")),
         "json": spark.read.schema(schema).json(os.path.join(stage, "json")),
         "orc": spark.read.orc(os.path.join(stage, "orc")),
-    }
-    import functools
-
-    arms = [
-        df.agg(
-            F.lit(fmt).alias("fmt"),
-            F.count("*").alias("n_rows"),
-            (F.sum("event_id") + F.sum("user_id"))
-            .cast("long")
-            .alias("id_checksum"),
-            F.countDistinct("event_type").alias("n_types"),
-        )
-        for fmt, df in sorted(reads.items())
-    ]
-    return functools.reduce(lambda a, b: a.unionByName(b), arms)
-
-
-# Avro round-trip staging, same session-lifetime pattern as _FMT_STAGE.
-_AVRO_STAGE: dict[tuple[str, str], str] = {}
-
-
-@register(
-    "format_roundtrip_avro",
-    oracle=_FMT_ORACLE_ROW.format(fmt="avro") + " UNION ALL "
-    + _FMT_ORACLE_ROW.format(fmt="avro_deflate"),
-    tags=("S7", "S8", "formats"),
-)
-def format_roundtrip_avro(spark, sf_dir):
-    """The AVRO arm of the format matrix — the round-6 verdict's
-    documented format-breadth gap, closed without the spark-avro
-    connector jar: sources/avro_py.py implements the Avro 1.12
-    object-container spec in pure Python, distributed via mapInArrow
-    (one container file per non-empty task, the brotli-sink pattern),
-    with both the stored ("null") and the spec-required "deflate"
-    (stdlib zlib) codecs.  The wire format is proven against the
-    OFFICIAL Java implementation on Spark's own classpath in both
-    directions (tests/test_avro_py.py); THIS query hash-gates the
-    end-to-end sink→scan fidelity every round: the events projection
-    written to avro per codec, scanned back, and reduced to the same
-    count + exact-BIGINT checksums the CSV/JSON/ORC arms use — the
-    oracle computes them straight off the parquet, so a single
-    dropped, duplicated, or corrupted row turns the driver row red.
-
-    Kept separate from format_roundtrip_matrix (rather than folded
-    into it) so the round-7 stale-green rotation window loses exactly
-    one slot to this NEW capability instead of one more to a
-    re-fingerprinted edit of the existing green."""
-    from nemscraper_spark.sources.avro_py import read_avro, write_avro
-
-    key = (spark.sparkContext.applicationId, str(sf_dir))
-    stage = _AVRO_STAGE.get(key)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
-    )
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="nemspark-avro-")
-        write_avro(ev, os.path.join(stage, "null"), codec="null")
-        write_avro(ev, os.path.join(stage, "deflate"), codec="deflate")
-        _AVRO_STAGE[key] = stage
-    reads = {
-        "avro": read_avro(spark, os.path.join(stage, "null")),
-        "avro_deflate": read_avro(spark, os.path.join(stage, "deflate")),
     }
     import functools
 

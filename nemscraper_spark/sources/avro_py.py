@@ -23,10 +23,15 @@ this Python decoder.
 Scope (same contract as the rest of the format matrix): flat record
 schemas over the lossless interchange types — long / int / double /
 float / boolean / string / bytes, each nullable as the standard
-["null", T] union; Spark timestamps travel as the spec's
-timestamp-micros logical type.  Nested structs/arrays/maps and the
-deflate codec are out of scope — the typed ETL path for complex data
-stays parquet (S7).  The per-row Python encode/decode is format-parity
+["null", T] union.  Spark `timestamp` (an instant) travels as the
+spec's timestamp-micros logical type and `timestamp_ntz` (wall time)
+as local-timestamp-micros, so the round trip preserves BOTH the column
+type and the displayed values in any session timezone (round-7 ADVICE:
+the old mapping read timestamp-micros back as NTZ UTC wall time).
+Codecs: "null" (stored) and "deflate" (the spec's required
+compression, stdlib zlib) — both written and read.  Nested
+structs/arrays/maps are out of scope — the typed ETL path for complex
+data stays parquet (S7).  The per-row Python encode/decode is format-parity
 machinery, not the analytics hot path — like the brotli sink, it
 exists so a user of this engine can hand files to (or take files
 from) an Avro shop without a JVM connector."""
@@ -90,6 +95,7 @@ _ENCODERS = {
     "string": _enc_str,
     "bytes": _enc_bytes,
     "timestamp-micros": zigzag_encode,
+    "local-timestamp-micros": zigzag_encode,
     "date": zigzag_encode,
 }
 
@@ -102,6 +108,10 @@ _AVRO_TYPE = {
     "string": "string",
     "bytes": "bytes",
     "timestamp-micros": {"type": "long", "logicalType": "timestamp-micros"},
+    "local-timestamp-micros": {
+        "type": "long",
+        "logicalType": "local-timestamp-micros",
+    },
     "date": {"type": "int", "logicalType": "date"},
 }
 
@@ -117,8 +127,11 @@ _SPARK_TO_KIND = {
     "boolean": "boolean",
     "string": "string",
     "binary": "bytes",
+    # An instant (Spark timestamp) is the spec's timestamp-micros; a
+    # wall-clock (timestamp_ntz) is local-timestamp-micros — distinct
+    # logical types so the read side restores the exact Spark type.
     "timestamp": "timestamp-micros",
-    "timestamp_ntz": "timestamp-micros",
+    "timestamp_ntz": "local-timestamp-micros",
     "date": "date",
 }
 
@@ -209,7 +222,13 @@ def write_container(
 
 
 def _decoder_for(kind: str):
-    if kind in ("long", "int", "timestamp-micros", "date"):
+    if kind in (
+        "long",
+        "int",
+        "timestamp-micros",
+        "local-timestamp-micros",
+        "date",
+    ):
         return zigzag_decode
     if kind == "double":
         return lambda buf, pos: (
@@ -244,7 +263,7 @@ def _kind_of_avro_type(t) -> str:
     """Avro field type (the non-null union branch) -> kind."""
     if isinstance(t, dict):
         lt = t.get("logicalType")
-        if lt in ("timestamp-micros", "date"):
+        if lt in ("timestamp-micros", "local-timestamp-micros", "date"):
             return lt
         t = t["type"]
     if t in ("long", "int", "double", "float", "boolean", "string", "bytes"):
@@ -359,7 +378,10 @@ def _pa_type(kind: str):
         "boolean": pa.bool_(),
         "string": pa.string(),
         "bytes": pa.binary(),
-        "timestamp-micros": pa.timestamp("us"),
+        # timestamp-micros is an INSTANT: tz-aware UTC arrow values map
+        # to Spark TimestampType correctly in any session timezone.
+        "timestamp-micros": pa.timestamp("us", tz="UTC"),
+        "local-timestamp-micros": pa.timestamp("us"),
         "date": pa.date32(),
     }[kind]
 
@@ -416,6 +438,7 @@ def write_avro(df, out_dir: str, codec: str = "null") -> int:
             "long": zz,
             "int": zz,
             "timestamp-micros": zz,
+            "local-timestamp-micros": zz,
             "date": zz,
             "double": lambda v: _struct.pack("<d", v),
             "float": lambda v: _struct.pack("<f", v),
@@ -430,7 +453,9 @@ def write_avro(df, out_dir: str, codec: str = "null") -> int:
         columns = []
         for (name, kind) in fields:
             col = table.column(name)
-            if kind == "timestamp-micros":
+            if kind in ("timestamp-micros", "local-timestamp-micros"):
+                # tz-aware -> naive keeps the stored epoch micros
+                # (instants); NTZ input is already naive wall micros.
                 col = col.cast(_pa.timestamp("us")).cast(_pa.int64())
             elif kind == "date":
                 col = col.cast(_pa.int32())
@@ -508,7 +533,7 @@ def read_avro(spark, path: str):
 
     bin_df = spark.read.format("binaryFile").load(paths)
 
-    expect_names = [n for n, _ in fields]
+    expect_fields = [tuple(f) for f in fields]
 
     # SELF-CONTAINED task closure (see _write): inlined decoder, no
     # package imports on the worker.
@@ -532,7 +557,13 @@ def read_avro(spark, path: str):
             return (u >> 1) ^ -(u & 1), pos
 
         def dec_for(kind):
-            if kind in ("long", "int", "timestamp-micros", "date"):
+            if kind in (
+                "long",
+                "int",
+                "timestamp-micros",
+                "local-timestamp-micros",
+                "date",
+            ):
                 return unzz
             if kind == "double":
                 return lambda b, p: (
@@ -557,7 +588,11 @@ def read_avro(spark, path: str):
         def kind_of(t):
             if isinstance(t, dict):
                 lt = t.get("logicalType")
-                if lt in ("timestamp-micros", "date"):
+                if lt in (
+                    "timestamp-micros",
+                    "local-timestamp-micros",
+                    "date",
+                ):
                     return lt
                 t = t["type"]
             return t
@@ -601,9 +636,15 @@ def read_avro(spark, path: str):
                     else:
                         f_fields.append((f["name"], kind_of(t)))
                         null_first.append(None)
-                if [n for n, _ in f_fields] != expect_names:
+                # Full (name, kind) comparison: a same-named field of a
+                # different kind would otherwise decode with its own
+                # decoder and be silently coerced by Arrow into the
+                # first file's schema (e.g. long -> float64 loses
+                # precision above 2^53) — round-7 ADVICE medium.
+                if f_fields != expect_fields:
                     raise ValueError(
-                        f"avro schema drift across files: {f_fields}"
+                        f"avro schema drift across files: {f_fields} "
+                        f"!= {expect_fields}"
                     )
                 sync = bytes(buf[pos : pos + 16])
                 pos += 16
@@ -662,6 +703,7 @@ _SPARK_DDL = {
     "boolean": "boolean",
     "string": "string",
     "bytes": "binary",
-    "timestamp-micros": "timestamp_ntz",
+    "timestamp-micros": "timestamp",
+    "local-timestamp-micros": "timestamp_ntz",
     "date": "date",
 }

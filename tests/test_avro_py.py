@@ -365,3 +365,98 @@ def test_empty_write_yields_no_files_and_read_refuses(spark, tmp_path):
     assert [f for f in os.listdir(d) if f.endswith(".avro")] == []
     with pytest.raises(FileNotFoundError):
         avro_py.read_avro(spark, d)
+
+
+def test_schema_kind_drift_across_files_is_refused(spark, tmp_path):
+    """Same field NAMES but different KINDS across files must refuse,
+    not silently coerce into the first file's Arrow schema (a long
+    column read through a float64 field loses precision above 2^53) —
+    round-7 ADVICE medium."""
+    d = str(tmp_path / "kindmix")
+    avro_py.write_avro(
+        spark.createDataFrame([(1, "a")], "id bigint, s string").coalesce(1),
+        d,
+    )
+    avro_py.write_avro(
+        spark.createDataFrame([(1.5, "a")], "id double, s string").coalesce(1),
+        d,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        avro_py.read_avro(spark, d).collect()
+    assert "drift" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_timestamp_instant_roundtrip_nonutc_session(spark, tmp_path):
+    """Spark `timestamp` (an instant) must come back as `timestamp` —
+    not timestamp_ntz — carrying the same epoch micros even when the
+    session timezone is not UTC (round-7 ADVICE: the old mapping
+    changed the type and, for non-UTC sessions, the displayed wall
+    time).  timestamp_ntz must round-trip as local-timestamp-micros
+    and keep its wall-clock reading."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try:
+        df = spark.sql(
+            """
+            SELECT CAST(v AS BIGINT) AS id,
+                   timestamp_micros(v) AS ts_instant,
+                   CAST(timestamp_micros(v) AS timestamp_ntz) AS ts_wall
+            FROM VALUES (1717245000123456), (0), (-2208988800000000) t(v)
+            """
+        ).coalesce(1)
+        out = str(tmp_path / "tsround")
+        avro_py.write_avro(df, out)
+        back = avro_py.read_avro(spark, out)
+        assert back.schema.simpleString() == df.schema.simpleString()
+        want = {
+            (r.id, r.ts_instant, r.ts_wall) for r in df.collect()
+        }
+        got = {(r.id, r.ts_instant, r.ts_wall) for r in back.collect()}
+        assert got == want
+        # the wire micros are true epoch micros for the instant column
+        epochs = {
+            r.e
+            for r in back.selectExpr(
+                "unix_micros(ts_instant) AS e"
+            ).collect()
+        }
+        assert epochs == {1717245000123456, 0, -2208988800000000}
+        # and the written logical types are the spec's pair
+        import glob as _glob
+        import json as _json
+
+        f = sorted(_glob.glob(out + "/*.avro"))[0]
+        with open(f, "rb") as fh:
+            head = fh.read(1 << 20)
+        pos = 4
+        meta = {}
+        buf = memoryview(head)
+        while True:
+            n, pos = avro_py.zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _, pos = avro_py.zigzag_decode(buf, pos)
+            for _ in range(n):
+                kl, pos = avro_py.zigzag_decode(buf, pos)
+                key = bytes(buf[pos : pos + kl]).decode()
+                pos += kl
+                vl, pos = avro_py.zigzag_decode(buf, pos)
+                meta[key] = bytes(buf[pos : pos + vl])
+                pos += vl
+        schema = _json.loads(meta["avro.schema"].decode())
+        lts = {
+            fld["name"]: [
+                b.get("logicalType")
+                for b in fld["type"]
+                if isinstance(b, dict)
+            ]
+            for fld in schema["fields"]
+        }
+        assert lts["ts_instant"] == ["timestamp-micros"]
+        assert lts["ts_wall"] == ["local-timestamp-micros"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
