@@ -1226,11 +1226,16 @@ def equidepth_histogram_price_exact(spark, sf_dir):
     centralizes the value multiset in the final aggregate (measured
     10.3x wall at 20x rows, OOM eventually) — that is exactly why the
     approx-boundary variant above is the one registered as primary."""
+    # F.concat (NULL-propagating) for bit-parity with the oracle's ||
+    # — concat_ws SKIPS null inputs while DuckDB's || yields NULL, so
+    # the twins would silently diverge on a nullable key.  Moot for
+    # TPC-H's non-null (l_orderkey, l_linenumber) PK, but the sampling
+    # expression should not depend on that assumption.
     li = fan_out(load_table(spark, sf_dir, "lineitem")).filter(
         F.md5(
-            F.concat_ws(
-                "|",
+            F.concat(
                 F.col("l_orderkey").cast("string"),
+                F.lit("|"),
                 F.col("l_linenumber").cast("string"),
             )
         ).startswith("0")
