@@ -329,11 +329,15 @@ def test_merge_upsert_no_nested_loop(spark, sf_dir):
 
 def test_lsh_md5_no_shingle_self_join(spark, sf_dir):
     """The md5 LSH twin keeps the production plan shape: candidates come
-    from the band bucket join, and the verify never materializes a
-    (doc_a, doc_b, shingle) row — no nested loop, no cartesian."""
+    from the band bucket join (equi-joins only — no nested loop, no
+    cartesian), and since the round-8 swap the exact-Jaccard verify is
+    the equi-join + count form: NO per-doc shingle set may be
+    materialized in an aggregation buffer (no collect_set, no
+    array_intersect) — that buffer was the 100 TB memory/skew hazard
+    the swap removed."""
     p = plan(REGISTRY["minhash_lsh_pairs_md5"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "array_intersect" in p
+    assert "collect_set" not in p and "array_intersect" not in p
 
 
 def test_sql_views_push_down(spark, sf_dir):
