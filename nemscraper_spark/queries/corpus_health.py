@@ -30,7 +30,7 @@ from nemscraper_spark.queries.corpus_ops import _BUCKET_SQL, _md5_bucket
 from nemscraper_spark.queries.training_data import (
     _LSH_MD5_CAND_SQL,
     lang_id_heuristic,
-    lsh_candidate_sets_md5,
+    lsh_counted_pairs_md5,
 )
 
 # ------------------------------------------------------------------ dedup --
@@ -450,20 +450,21 @@ def minhash_containment_pairs(spark, sf_dir):
     near-SUPERSET duplicates Jaccard misses — a short doc fully
     embedded in a longer one has low Jaccard (union is large) but
     containment ≈ 1, the common shape when a crawl re-wraps an article
-    with boilerplate. Same md5-LSH candidate machinery as
-    minhash_lsh_pairs_md5 (lsh_candidate_sets_md5 — linear banding,
-    semi-join prune, pair-local string-set intersect), different
-    verify measure."""
+    with boilerplate. Same md5-LSH verify machinery as
+    minhash_lsh_pairs_md5 (lsh_counted_pairs_md5 — linear banding,
+    equi-join count verify, no per-doc shingle arrays), different
+    verify measure over the same (n_common, na, nb) counts."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = lsh_candidate_sets_md5(d)
-    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
-    cont = n_common.cast("double") / F.least(
-        F.size("sa").cast("bigint"), F.size("sb").cast("bigint")
+    pairs = lsh_counted_pairs_md5(d)
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("na"), F.col("nb")
     )
     return (
         pairs.filter(cont >= 0.5)
         .select(
-            "doc_a", "doc_b", n_common.alias("n_common"),
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
             cont.alias("containment"),
         )
     )

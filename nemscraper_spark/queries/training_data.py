@@ -596,19 +596,32 @@ def lsh_band_curve_report(spark, sf_dir):
     )
     arms = []
     for n_perm, band_size in ((8, 2), (16, 4)):
-        pairs = lsh_candidate_sets_md5(d, n_perm, band_size)
-        n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
-        jac = n_common.cast("double") / (
-            F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
+        # candidates are counted on the candidate frame itself (the
+        # oracle's COUNT(*) FROM cand), verified on the count-form
+        # pairs — both one-row aggregates, broadcast-joined.
+        cand_n = _md5_band_candidates(
+            _shingle_frame(d), n_perm, band_size
+        ).agg(F.count("*").alias("candidates"))
+        counted = lsh_counted_pairs_md5(d, n_perm, band_size)
+        jac = F.col("n_common").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_common")
         )
-        arm = pairs.select((jac >= 0.2).cast("long").alias("v")).agg(
-            F.lit(f"{n_perm}x{band_size}").alias("geometry"),
-            F.count("*").alias("candidates"),
-            F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("verified"),
-            (
-                F.coalesce(F.sum("v"), F.lit(0).cast("long")).cast("double")
-                / F.nullif(F.count("*"), F.lit(0).cast("long"))
-            ).alias("precision_"),
+        ver_n = counted.select((jac >= 0.2).cast("long").alias("v")).agg(
+            F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("verified")
+        )
+        arm = (
+            ver_n.crossJoin(F.broadcast(cand_n))
+            .select(
+                F.lit(f"{n_perm}x{band_size}").alias("geometry"),
+                "candidates",
+                "verified",
+                (
+                    F.col("verified").cast("double")
+                    / F.nullif(
+                        F.col("candidates"), F.lit(0).cast("long")
+                    )
+                ).alias("precision_"),
+            )
         )
         arms.append(
             arm.crossJoin(F.broadcast(exact_cnt)).withColumn(
@@ -682,7 +695,7 @@ def _shingle_frame(d):
 def _md5_bands_frame(sh, n_perm: int, band_size: int):
     """Shingle rows → (doc_id, band, bucket) band rows at the given
     geometry — the Spark twin of _lsh_md5_bands_only_sql, shared by
-    lsh_candidate_sets_md5 and dedup_incremental_delta so a geometry
+    _md5_band_candidates and dedup_incremental_delta so a geometry
     or shingle fix lands everywhere at once. Cached per
     (session, sf_dir, geometry) when ``sh`` came out of the shingle
     cache (opt-in, see the cache-default note above)."""
@@ -724,42 +737,54 @@ def _md5_bands_frame(sh, n_perm: int, band_size: int):
     return bands
 
 
-def lsh_candidate_sets_md5(d, n_perm: int = 8, band_size: int = 2):
-    """Shared md5-LSH candidate machinery over a (doc_id, text) frame:
-    n_perm md5 minhash sigs → n_perm/band_size bands → bucket-join
-    candidates → semi-join-pruned shingle sets per candidate doc.
-    Returns one row per candidate pair with both shingle-string sets
-    attached (doc_a, doc_b, sa, sb) — the verify MEASURE (Jaccard,
-    containment) is applied by the caller. Used by
-    lsh_verified_pairs_md5 (both geometries) and
-    corpus_health.minhash_containment_pairs."""
-    sh = _shingle_frame(d)
+def _md5_band_candidates(sh, n_perm: int, band_size: int):
+    """Shingle rows → distinct (doc_a < doc_b) band-bucket candidate
+    pairs at the given geometry — the shared candidate stage of every
+    md5-LSH pipeline (verified pairs, containment, the band-curve
+    report's candidate counts)."""
     bands = _md5_bands_frame(sh, n_perm, band_size)
     la = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     lb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cand = (
+    return (
         la.join(lb, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+
+
+def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
+    """Shared md5-LSH verify machinery over a (doc_id, text) frame:
+    band-bucket candidates joined back to the shingle table on equal
+    shingle STRINGS (collision-free by construction, exactly as the
+    DuckDB oracles do), groupBy-count — one row per candidate pair
+    with (doc_a, doc_b, n_common, na, nb).  Every verify MEASURE
+    (Jaccard, Broder containment, band-curve precision) is a pure
+    expression over these three counts, applied by the caller.
+
+    This is the round-8 count form that retired collect_set
+    everywhere in the dedup family: no per-doc shingle SET is ever
+    materialized in an aggregation buffer, so at 100 TB a single
+    pathological document costs bounded (doc, shingle) shuffle rows
+    instead of one executor-resident array (round-7 verdict, "What's
+    wrong" #1).  The inner join emits no row for a candidate pair
+    with zero common shingles — vacuous here, since a bucket
+    collision means equal min-md5 within the band, so the pair shares
+    its argmin shingle and n_common >= 1 always."""
+    sh = _shingle_frame(d)
+    cand = _md5_band_candidates(sh, n_perm, band_size)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    # Intersect the shingle STRINGS, exactly as the DuckDB oracle does
-    # (the xxhash64 production twin keeps 8-byte sets; this md5 twin is
-    # the cross-engine proof, so its verify must be collision-free —
-    # a 64-bit hash collision here would silently shift n_common).
-    sets = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("ss"))
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
-    return cand.join(sa, "doc_a").join(sb, "doc_b")
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return inter.join(ca, "doc_a").join(cb, "doc_b")
 
 
 def lsh_verified_pairs_md5(d, threshold: float, n_perm: int = 8, band_size: int = 2):
@@ -783,41 +808,12 @@ def lsh_verified_pairs_md5(d, threshold: float, n_perm: int = 8, band_size: int 
     memory/skew hazard of the old form (round-7 verdict, "What's
     wrong" #1).  The old form survives as an inline reference
     implementation in tests/test_training_ops.py::
-    test_verify_matches_collectset_reference.
-
-    Semantics note: the inner join emits no row for a candidate pair
-    with zero common shingles (the collect_set form emitted n_common=0
-    and relied on the threshold filter).  Equivalent for every real
-    call site: a bucket collision means equal min-md5 within the band,
-    so the pair shares its argmin shingle and n_common >= 1; and all
-    registered thresholds are >= 0.2 anyway."""
-    sh = _shingle_frame(d)
-    bands = _md5_bands_frame(sh, n_perm, band_size)
-    la = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    lb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cand = (
-        la.join(lb, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    test_verify_matches_collectset_reference."""
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        lsh_counted_pairs_md5(d, n_perm, band_size)
         .filter(jac >= threshold)
         .select(
             "doc_a",

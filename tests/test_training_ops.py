@@ -313,12 +313,34 @@ def test_verify_matches_collectset_reference(spark, sf_dir_oracle):
 
     from nemscraper_spark.queries.common import fan_out, load_table
     from nemscraper_spark.queries.training_data import (
-        lsh_candidate_sets_md5,
+        _md5_band_candidates,
+        _shingle_frame,
         lsh_verified_pairs_md5,
     )
 
     def collectset_reference(d, threshold, n_perm, band_size):
-        pairs = lsh_candidate_sets_md5(d, n_perm, band_size)
+        # the retired form, end to end: semi-join-pruned per-doc
+        # shingle SETS attached to each candidate pair, verified with
+        # array_intersect
+        sh = _shingle_frame(d)
+        cand = _md5_band_candidates(sh, n_perm, band_size)
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = (
+            sh.join(cand_docs, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("ss"))
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")
+        )
+        pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
         n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
         jac = n_common.cast("double") / (
             F.size("sa").cast("bigint")
