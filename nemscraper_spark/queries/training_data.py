@@ -596,32 +596,26 @@ def lsh_band_curve_report(spark, sf_dir):
     )
     arms = []
     for n_perm, band_size in ((8, 2), (16, 4)):
-        # candidates are counted on the candidate frame itself (the
-        # oracle's COUNT(*) FROM cand), verified on the count-form
-        # pairs — both one-row aggregates, broadcast-joined.
-        cand_n = _md5_band_candidates(
-            _shingle_frame(d), n_perm, band_size
-        ).agg(F.count("*").alias("candidates"))
+        # ONE aggregate per arm over the count-form pairs: candidates
+        # = COUNT(*) because the counted frame carries exactly one row
+        # per band-bucket candidate — a bucket collision means equal
+        # min-md5 within the band, i.e. the same "i|shingle" preimage
+        # (md5 is collision-free over these strings), so every
+        # candidate pair shares its argmin shingle and survives the
+        # inner count join with n_common >= 1.  The oracle counts
+        # cand directly; the two are equal by this invariant.
         counted = lsh_counted_pairs_md5(d, n_perm, band_size)
         jac = F.col("n_common").cast("double") / (
             F.col("na") + F.col("nb") - F.col("n_common")
         )
-        ver_n = counted.select((jac >= 0.2).cast("long").alias("v")).agg(
-            F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("verified")
-        )
-        arm = (
-            ver_n.crossJoin(F.broadcast(cand_n))
-            .select(
-                F.lit(f"{n_perm}x{band_size}").alias("geometry"),
-                "candidates",
-                "verified",
-                (
-                    F.col("verified").cast("double")
-                    / F.nullif(
-                        F.col("candidates"), F.lit(0).cast("long")
-                    )
-                ).alias("precision_"),
-            )
+        arm = counted.select((jac >= 0.2).cast("long").alias("v")).agg(
+            F.lit(f"{n_perm}x{band_size}").alias("geometry"),
+            F.count("*").alias("candidates"),
+            F.coalesce(F.sum("v"), F.lit(0).cast("long")).alias("verified"),
+            (
+                F.coalesce(F.sum("v"), F.lit(0).cast("long")).cast("double")
+                / F.nullif(F.count("*"), F.lit(0).cast("long"))
+            ).alias("precision_"),
         )
         arms.append(
             arm.crossJoin(F.broadcast(exact_cnt)).withColumn(
