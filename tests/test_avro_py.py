@@ -243,6 +243,44 @@ def test_codec_fuzz_roundtrip():
             st.just("boolean"),
             st.lists(st.one_of(st.none(), st.booleans()), min_size=1, max_size=8),
         ),
+        st.tuples(
+            st.just("int"),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        st.tuples(
+            st.just("float"),
+            st.lists(
+                st.one_of(st.none(), st.floats(allow_nan=False, width=32)),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        # the three zigzag-long logical types: the VALUES are plain
+        # ints at this layer (the Spark surface does the datetime
+        # mapping), but fuzzing them exercises schema_json /
+        # parse_header round-tripping the logicalType dicts.
+        st.tuples(
+            st.sampled_from(
+                ["timestamp-micros", "local-timestamp-micros"]
+            ),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**62), 2**62 - 1)),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        st.tuples(
+            st.just("date"),
+            st.lists(
+                st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
     )
 
     @given(st.lists(cols, min_size=1, max_size=4))

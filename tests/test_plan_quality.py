@@ -335,9 +335,19 @@ def test_lsh_md5_no_shingle_self_join(spark, sf_dir):
     materialized in an aggregation buffer (no collect_set, no
     array_intersect) — that buffer was the 100 TB memory/skew hazard
     the swap removed."""
-    p = plan(REGISTRY["minhash_lsh_pairs_md5"].fn(spark, sf_dir))
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "collect_set" not in p and "array_intersect" not in p
+    for name in (
+        "minhash_lsh_pairs_md5",
+        "minhash_containment_pairs",
+        "lsh_band_curve_report",
+    ):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        if name != "lsh_band_curve_report":
+            # the band-curve report DOES carry broadcast nested-loop
+            # CROSS joins — its one-row exact-pair count enters each
+            # one-row arm that way, by design (see its docstring)
+            assert "BroadcastNestedLoopJoin" not in p, name
+        assert "collect_set" not in p and "array_intersect" not in p, name
 
 
 def test_sql_views_push_down(spark, sf_dir):
