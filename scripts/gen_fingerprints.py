@@ -45,6 +45,32 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def compute_blessing(old, current, held, last_green, recheck_first):
+    """Pure blessing arithmetic (unit-tested in test_driver_order.py):
+    -> (out_digests, changed, removed, would_coast).
+
+    * held names keep their previously-blessed digest verbatim (or
+      stay absent) so they remain fingerprint-invalidated and re-earn
+      a driver row under the new code;
+    * would_coast = names whose blessed digest would move while they
+      hold a hash-green driver row and are not queued for a forced
+      recheck — blessing those lets old rows vouch for new code (the
+      q17 round-4 lesson), so the caller must refuse without an
+      explicit, logged --allow-coast."""
+    out = dict(current)
+    for name in held:
+        if name in old:
+            out[name] = old[name]
+        else:
+            out.pop(name, None)
+    changed = sorted(n for n in out if old.get(n) != out[n])
+    removed = sorted(n for n in old if n not in out)
+    would_coast = sorted(
+        n for n in changed if n in last_green and n not in recheck_first
+    )
+    return out, changed, removed, would_coast
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -66,26 +92,13 @@ def main() -> None:
         raise SystemExit(f"--hold names not in REGISTRY: {', '.join(unknown)}")
 
     old = entry._blessed_fingerprints()
-    new = {name: entry._fingerprint(name) for name in REGISTRY}
-    for name in held:  # keep the stale digest -> stays invalidated
-        if name in old:
-            new[name] = old[name]
-        else:
-            new.pop(name, None)
-    changed = sorted(n for n in new if old.get(n) != new[n])
-    removed = sorted(n for n in old if n not in new)
-
-    # COASTING GUARD: blessing a changed fingerprint for a name that
-    # holds a hash-green driver row makes _green_names() trust the OLD
-    # row for NEW code (the q17 round-4 lesson).  Such names must be
-    # pushed through _RECHECK_FIRST so they re-earn a driver row — if
-    # they aren't, refuse unless --allow-coast is passed explicitly
-    # (algorithm re-blessings only; logged).
-    last_green = entry._last_green_round()
-    would_coast = sorted(
-        n
-        for n in changed
-        if n in last_green and n not in entry._RECHECK_FIRST
+    current = {name: entry._fingerprint(name) for name in REGISTRY}
+    new, changed, removed, would_coast = compute_blessing(
+        old,
+        current,
+        held,
+        entry._last_green_round(),
+        entry._RECHECK_FIRST,
     )
     if would_coast and not args.allow_coast:
         print(

@@ -514,3 +514,38 @@ def test_beyond_root_relative_import_skipped(tmp_path, monkeypatch):
     assert any(
         getattr(m, "__name__", "") == "fprel_testpkg.helpers" for m in got
     ), got
+
+
+def test_compute_blessing_hold_and_coast_semantics():
+    """gen_fingerprints.compute_blessing: held names keep (or stay
+    absent from) the blessed set so they remain invalidated; coast
+    detection flags exactly the green-holding changed names not queued
+    for a forced recheck."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from gen_fingerprints import compute_blessing
+
+    old = {"a": "1", "b": "2", "c": "3", "gone": "9"}
+    current = {"a": "1", "b": "2x", "c": "3x", "new": "5"}
+    out, changed, removed, coast = compute_blessing(
+        old,
+        current,
+        held=["c", "new"],          # c keeps old digest; new stays absent
+        last_green={"b": 6, "c": 6},
+        recheck_first=(),
+    )
+    assert out == {"a": "1", "b": "2x", "c": "3"}
+    assert changed == ["b"]          # c held, new held-absent, a unchanged
+    assert removed == ["gone"]
+    assert coast == ["b"]            # green + changed + not recheck-queued
+    # queuing b for a forced recheck clears the coast refusal
+    *_, coast2 = compute_blessing(
+        old, current, ["c", "new"], {"b": 6, "c": 6}, ("b",)
+    )
+    assert coast2 == []
+    # a green HELD name never counts as coasting (digest did not move)
+    *_, coast3 = compute_blessing(
+        old, current, ["b", "c", "new"], {"b": 6, "c": 6}, ()
+    )
+    assert coast3 == []
