@@ -1178,6 +1178,101 @@ def cosine_topk_bruteforce(spark, sf_dir):
     )
 
 
+@register(
+    "decontaminate_semantic",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 10 = 7
+    ),
+    t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 10 <> 7
+    ),
+    c AS (
+      SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+             ROUND(list_dot_product(t.e, q.e)
+                   / (sqrt(list_dot_product(t.e, t.e))
+                      * sqrt(list_dot_product(q.e, q.e))), 9) AS cosine
+      FROM t, q
+    )
+    SELECT train_id, eval_id, cosine FROM (
+      SELECT train_id, eval_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY train_id
+                                ORDER BY cosine DESC, eval_id) AS rk
+      FROM c WHERE cosine >= 0.35
+    ) WHERE rk = 1
+    """,
+    tags=("decontamination", "similarity"),
+)
+def decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC train/eval decontamination — the embedding-space
+    sibling of decontaminate_train_ngrams/_bloom: a train document
+    whose embedding is too close to any eval document leaks the eval
+    set even when no n-gram matches (paraphrases, translations,
+    templated rewrites — the leakage class Lee et al. / Abbas et al.
+    style lexical dedup cannot see).  Eval set = the deterministic
+    vec_id % 10 = 7 slice (the corpus-convention stand-in for a held-
+    out benchmark suite); output = one row per CONTAMINATED train
+    vector with its best-matching eval vector and the (9dp-rounded)
+    cosine — the argmax row is what a filtering pipeline logs before
+    dropping the document.
+
+    Scale shape: the EVAL side broadcasts (benchmark suites are
+    10^3-10^4 documents — same broadcast contract as the Bloom/ngram
+    variants), the train side is one scan with JVM-side
+    F.aggregate/zip_with dot products, and the per-train argmax is a
+    map-side-combinable aggregation over the post-threshold sliver —
+    no shuffle of the full corpus at any point, linear in |train|.
+    For eval sets too large to broadcast, the LSH bucket prefilter of
+    ann_lsh_cosine is the drop-in candidate stage.  The 0.35 threshold
+    is calibrated to THIS synthetic corpus (near-orthogonal random
+    embeddings, cross-slice cosine max ~0.49); production corpora with
+    trained encoders use 0.9+.  Rounding to 9dp before ranking keeps
+    the argmax tie-break bit-identical cross-engine
+    (cosine_topk_bruteforce precedent)."""
+    from pyspark.sql import Window
+
+    e = _emb_sized(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    ev = e.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("e").alias("qe"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("qn"),
+    )
+    tr = e.filter(F.col("vec_id") % 10 != 7).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("e").alias("te"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("tn"),
+    )
+    cos = F.round(
+        dot(F.col("te"), F.col("qe")) / (F.col("tn") * F.col("qn")), 9
+    )
+    flagged = (
+        tr.crossJoin(F.broadcast(ev))
+        .select("train_id", "eval_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id")
+    )
+    return (
+        flagged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("train_id", "eval_id", "cosine")
+    )
+
+
 @register("ann_lsh_cosine", oracle=None, tags=("similarity",))
 def ann_lsh_cosine(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours — the scale path.
