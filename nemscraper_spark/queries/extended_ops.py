@@ -1261,3 +1261,122 @@ def equidepth_histogram_price_exact(spark, sf_dir):
             F.max("l_extendedprice").cast("double").alias("hi"),
         )
     )
+
+
+# Count-Min geometry: d hash rows x w buckets.  Shared by the query and
+# the mergeability test (CMS linearity: counters over a partition of the
+# corpus, cell-wise summed, equal the whole-corpus counters).
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_bucket():
+    """Row-salted md5 bucket 0..w-1 for columns (rw INT, token STRING) —
+    the repo's portable first-two-hex-digit idiom, replayed verbatim by
+    the DuckDB oracle."""
+    return (
+        F.expr(
+            "(locate(substring(md5(concat(cast(rw AS string), '|', token)), 1, 1),"
+            " '0123456789abcdef') - 1) * 16"
+            " + (locate(substring(md5(concat(cast(rw AS string), '|', token)), 2, 1),"
+            " '0123456789abcdef') - 1)"
+        )
+        % _CMS_W
+    )
+
+
+def _cms_counters(tc):
+    """(rw, bucket) -> total counter matrix from per-token partial
+    counts (CMS is linear, so additive construction equals streaming
+    the raw token increments).  Returns (cms, hashed) — hashed keeps
+    each token's cell addresses for the probe join."""
+    rws = tc.sparkSession.range(_CMS_D).select(
+        F.col("id").cast("int").alias("rw")
+    )
+    hashed = tc.crossJoin(F.broadcast(rws)).withColumn(
+        "bucket", _cms_bucket()
+    )
+    cms = hashed.groupBy("rw", "bucket").agg(F.sum("cnt").alias("total"))
+    return cms, hashed
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    rws AS (SELECT unnest(generate_series(0, 3)) AS rw),
+    hashed AS (
+      SELECT tc.token, tc.cnt, rws.rw,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(rws.rw AS VARCHAR) || '|' || tc.token), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(rws.rw AS VARCHAR) || '|' || tc.token), 2, 1)) - 1)
+             ) % 64 AS bucket
+      FROM tc CROSS JOIN rws
+    ),
+    cms AS (SELECT rw, bucket, SUM(cnt) AS total FROM hashed GROUP BY rw, bucket),
+    top AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 10)
+    SELECT t.token, t.cnt AS exact_cnt,
+           CAST(MIN(c.total) AS BIGINT) AS cms_est,
+           CAST(MIN(c.total) - t.cnt AS BIGINT) AS overcount
+    FROM top t
+    JOIN hashed h ON h.token = t.token
+    JOIN cms c ON c.rw = h.rw AND c.bucket = h.bucket
+    GROUP BY t.token, t.cnt
+    """,
+    tags=("A-approx", "sketch", "text"),
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH heavy hitters, hash-gated end to end — the
+    frequency sketch missing from the family (HLL = distinct counts,
+    KLL/approx_percentile = quantiles, Bloom = membership; CMS =
+    point-frequency estimates).  Cormode & Muthukrishnan 2005.
+
+    d=4 rows x w=64 buckets; bucket_i(token) = first-two-hex-digit
+    md5(i || '|' || token) mod w (the repo's portable md5 idiom, so
+    DuckDB replays the EXACT counter matrix and the gate pins the
+    estimates themselves, not just an error-contract boolean).  The
+    sketch is built additively from per-token partial counts (CMS is
+    linear, so summing per-token increments per cell equals streaming
+    the raw tokens); estimates for the exact top-10 tokens are
+    MIN over the token's d cells — always >= exact, over only on
+    collision (one visible at sf0.01: 'scan' collides, overcount 888 —
+    the sketch behaving like a sketch, pinned by the hash gate).
+
+    Scale shape: the counter state is a FIXED d x w = 256-cell matrix
+    — map-side combinable, mergeable across shards/days exactly like
+    hll_reaggregate_daily's HLL unions, O(1) memory at any corpus
+    size.  The top-k probe side is TakeOrdered over the survivor set.
+    At 100 TB the exact per-token counts this demo validates against
+    are the expensive path; production keeps ONLY the 256 cells per
+    (shard, window) and merges upward — the reaggregable
+    heavy-hitter / frequency-cap primitive (dup-weighting, per-domain
+    rate caps) that no built-in Spark aggregate provides."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cms, _hashed = _cms_counters(tc)
+    top = tc.orderBy(F.col("cnt").desc(), "token").limit(10)
+    rws = tc.sparkSession.range(_CMS_D).select(
+        F.col("id").cast("int").alias("rw")
+    )
+    probes = top.crossJoin(F.broadcast(rws)).withColumn(
+        "bucket", _cms_bucket()
+    )
+    return (
+        probes.join(F.broadcast(cms), ["rw", "bucket"])
+        .groupBy("token", "cnt")
+        .agg(F.min("total").cast("long").alias("cms_est"))
+        .select(
+            "token",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+        )
+    )

@@ -2711,3 +2711,70 @@ def minhash_jaccard_estimate(spark, sf_dir):
             F.abs(est - jac).alias("abs_err"),
         )
     )
+
+
+@register(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, substr(text, 1, 40) AS prefix,
+             string_split(text, ' ')[1] AS t0,
+             CAST(floor(n_chars / 64) AS INT) AS lb
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+           CAST(levenshtein(a.prefix, c.prefix) AS BIGINT) AS dist
+    FROM b a JOIN b c ON a.t0 = c.t0 AND a.lb = c.lb
+    WHERE a.doc_id < c.doc_id
+      AND levenshtein(a.prefix, c.prefix) <= 20
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def fuzzy_levenshtein_pairs(spark, sf_dir):
+    """EDIT-DISTANCE near-dup pairs under blocking — the entity-
+    resolution flavor the shingle/MinHash/SimHash family cannot see:
+    token-set methods are blind to within-token typos and character
+    noise (OCR corpora, scraped boilerplate variants), where character
+    edit distance is the standard verifier.
+
+    Blocking-and-verify, the classic ER plan: candidates come from an
+    EQUI-join on a cheap blocking key (first token, 64-char length
+    bucket) — never all-pairs — then each candidate pair is verified
+    with Levenshtein over a fixed 40-char prefix.  The verify is a
+    JVM built-in (F.levenshtein, same unit-cost DP as DuckDB's, proven
+    identical by this hash gate), cost bounded at 40x40 DP cells per
+    candidate regardless of document length.
+
+    Scale shape: cost is sum(block_size^2) — the blocking key is the
+    knob, exactly like LSH band geometry.  At 100 TB you add signature
+    bits to the key (second token, simhash band, sorted-neighborhood
+    windows) until blocks bound; the fixed-length prefix keeps the
+    per-pair verify O(1) and the pair output is Omega(true near-dups)
+    like every pair reporter in this family.  Skewed blocks (one giant
+    boilerplate cluster) salt like any skewed join key.  Threshold 20
+    on a 40-char prefix = 50% normalized similarity, calibrated to
+    this corpus (24 exact-prefix pairs + 11 fuzzy at sf0.01)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("prefix"),
+        F.split("text", " ").getItem(0).alias("t0"),
+        F.floor(F.col("n_chars") / 64).cast("int").alias("lb"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("c.prefix"))
+    return (
+        a.join(
+            c,
+            (F.col("a.t0") == F.col("c.t0"))
+            & (F.col("a.lb") == F.col("c.lb"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("c.doc_id").alias("doc_id_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
