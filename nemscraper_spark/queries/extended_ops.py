@@ -6,6 +6,7 @@ reach for next).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nemscraper_spark.operators.asof import asof_join
@@ -1378,5 +1379,233 @@ def cms_heavy_hitters(spark, sf_dir):
             F.col("cnt").alias("exact_cnt"),
             "cms_est",
             (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+        )
+    )
+
+
+# KMV sketch size.  1/sqrt(128) ~ 8.8% relative error; shared with the
+# oracle and the exact-mode / prefilter tests.
+_KMV_K = 128
+# (k-1) * 16^12 as an EXACT double: 127 * 2^48 needs 7+48 = 55 bits of
+# magnitude but only 7 significant bits, so the double is exact and the
+# single division by the (exact, <= 2^48) hash integer is one
+# correctly-rounded IEEE op — bit-identical cross-engine.
+_KMV_SCALE = float((_KMV_K - 1) * 16**12)
+
+
+def _kmv_sketch(h, set_col: str):
+    """k smallest DISTINCT hx per set — the KMV sketch rows.  h must be
+    (set_col, hx) distinct.  The partitioned sort is the demo form; at
+    scale, prefilter hx < t first (footer-count-derived t keeping O(k)
+    survivors per set) — pinned equal in tests where the precondition
+    (>= k survivors) holds."""
+    w = Window.partitionBy(set_col).orderBy("hx")
+    return (
+        h.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _KMV_K)
+        .drop("r")
+    )
+
+
+@register(
+    "kmv_audience_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderstatus AS st,
+             substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS hx
+      FROM orders
+    ),
+    kmv AS (
+      SELECT st, hx FROM (
+        SELECT st, hx, ROW_NUMBER() OVER (PARTITION BY st ORDER BY hx) AS r
+        FROM h
+      ) WHERE r <= {_KMV_K}
+    ),
+    sk AS (
+      SELECT st, MAX(hx) AS kth_hx, CAST(COUNT(*) AS BIGINT) AS n_ret
+      FROM kmv GROUP BY st
+    ),
+    est AS (
+      SELECT st,
+             CASE WHEN n_ret < {_KMV_K} THEN CAST(n_ret AS DOUBLE)
+                  ELSE ROUND(CAST({_KMV_SCALE!r} AS DOUBLE)
+                             / CAST(('0x' || kth_hx)::UBIGINT AS DOUBLE), 9)
+             END AS est_d
+      FROM sk
+    ),
+    pairs AS (
+      SELECT a.st AS st_a, b.st AS st_b FROM sk a JOIN sk b ON a.st < b.st
+    ),
+    uni AS (
+      SELECT st_a, st_b, hx FROM (
+        SELECT p.st_a, p.st_b, k.hx,
+               ROW_NUMBER() OVER (PARTITION BY p.st_a, p.st_b
+                                  ORDER BY k.hx) AS r
+        FROM pairs p
+        JOIN kmv k ON k.st IN (p.st_a, p.st_b)
+        GROUP BY p.st_a, p.st_b, k.hx
+      ) WHERE r <= {_KMV_K}
+    ),
+    usk AS (
+      SELECT st_a, st_b, MAX(hx) AS th, CAST(COUNT(*) AS BIGINT) AS n_ret
+      FROM uni GROUP BY st_a, st_b
+    ),
+    uest AS (
+      SELECT st_a, st_b, th, n_ret,
+             CASE WHEN n_ret < {_KMV_K} THEN CAST(n_ret AS DOUBLE)
+                  ELSE ROUND(CAST({_KMV_SCALE!r} AS DOUBLE)
+                             / CAST(('0x' || th)::UBIGINT AS DOUBLE), 9)
+             END AS est_union
+      FROM usk
+    ),
+    common AS (
+      SELECT u.st_a, u.st_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM uest u
+      JOIN kmv a ON a.st = u.st_a AND a.hx <= u.th
+      JOIN kmv b ON b.st = u.st_b AND b.hx = a.hx
+      GROUP BY u.st_a, u.st_b
+    ),
+    exact AS (
+      SELECT a.st AS st_a, b.st AS st_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM h a JOIN h b ON a.hx = b.hx AND a.st < b.st
+      GROUP BY 1, 2
+    )
+    SELECT u.st_a, u.st_b,
+           ea.est_d AS est_a, eb.est_d AS est_b,
+           u.est_union,
+           c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE) / CAST(u.n_ret AS DOUBLE)
+                 * u.est_union, 9) AS est_intersection,
+           x.exact_intersection
+    FROM uest u
+    JOIN est ea ON ea.st = u.st_a
+    JOIN est eb ON eb.st = u.st_b
+    JOIN common c ON c.st_a = u.st_a AND c.st_b = u.st_b
+    JOIN exact x ON x.st_a = u.st_a AND x.st_b = u.st_b
+    """,
+    tags=("A-approx", "sketch", "set-ops"),
+)
+def kmv_audience_overlap(spark, sf_dir):
+    """KMV / theta-style distinct sketch with set INTERSECTION — the
+    audience-overlap estimator (Beyer et al., SIGMOD'07 "On synopses
+    for distinct-value estimation under multiset operations"; the
+    Apache DataSketches theta use case).  HLL (hll_reaggregate_daily)
+    unions but cannot intersect; KMV keeps the k SMALLEST hash values
+    per set, so sketches intersect: theta = k-th minimum of the union
+    sketch, jaccard-hat = |common hashes <= theta| / k, and
+    |A intersect B|-hat = jaccard-hat x union-estimate.
+
+    Sets here: distinct customers per order status (~1430-1450 each at
+    sf0.01) with all three pairwise overlaps, estimate vs EXACT
+    intersection side by side.  Everything is md5-deterministic —
+    DuckDB replays the identical k-sets, thetas, and divisions
+    ((k-1) x 16^12 is an exact double, each estimate is one
+    correctly-rounded IEEE op, rounded to 9dp) — so the driver
+    hash-gates the ESTIMATES themselves.  Exact mode: a set (or
+    union) retaining fewer than k hashes reports its exact retained
+    count, like DataSketches theta below saturation.
+
+    Scale shape: the sketch is k x 12 bytes per set — MERGEABLE
+    (union sketch = k smallest of concatenated k-sets, built here
+    exactly that way, never from the raw data).  The per-set k-minima
+    come from a partitioned sort whose input a production build
+    prefilters to hash < t (t from footer-count estimates, keeping
+    O(k) survivors per set — the prefiltered form is pinned equal in
+    tests); the pair stage touches only k-row sketches (broadcast).
+    At 100 TB: one linear scan + fixed-size state per set, the same
+    contract as hll/cms, plus the intersection algebra neither
+    provides."""
+    o = fan_out(load_table(spark, sf_dir, "orders"))
+    h = (
+        o.select(
+            F.col("o_orderstatus").alias("st"),
+            F.substring(
+                F.md5(F.col("o_custkey").cast("string")), 1, 12
+            ).alias("hx"),
+        )
+        .distinct()
+    )
+    kmv = _kmv_sketch(h, "st")
+    scale = F.lit(_KMV_SCALE)
+    hx_int = lambda c: F.conv(c, 16, 10).cast("double")  # noqa: E731
+    sk = kmv.groupBy("st").agg(
+        F.max("hx").alias("kth_hx"), F.count("*").alias("n_ret")
+    )
+    est = sk.select(
+        "st",
+        F.when(F.col("n_ret") < _KMV_K, F.col("n_ret").cast("double"))
+        .otherwise(F.round(scale / hx_int(F.col("kth_hx")), 9))
+        .alias("est_d"),
+    )
+    pairs = (
+        sk.select(F.col("st").alias("st_a"))
+        .crossJoin(sk.select(F.col("st").alias("st_b")))
+        .filter(F.col("st_a") < F.col("st_b"))
+    )
+    uni = (
+        pairs.join(
+            kmv,
+            (F.col("st") == F.col("st_a")) | (F.col("st") == F.col("st_b")),
+        )
+        .select("st_a", "st_b", "hx")
+        .distinct()
+    )
+    wu = Window.partitionBy("st_a", "st_b").orderBy("hx")
+    usk = (
+        uni.withColumn("r", F.row_number().over(wu))
+        .filter(F.col("r") <= _KMV_K)
+        .groupBy("st_a", "st_b")
+        .agg(F.max("hx").alias("th"), F.count("*").alias("n_ret"))
+    )
+    uest = usk.select(
+        "st_a",
+        "st_b",
+        "th",
+        "n_ret",
+        F.when(F.col("n_ret") < _KMV_K, F.col("n_ret").cast("double"))
+        .otherwise(F.round(scale / hx_int(F.col("th")), 9))
+        .alias("est_union"),
+    )
+    ka = kmv.select(F.col("st").alias("st_a"), F.col("hx"))
+    kb = kmv.select(F.col("st").alias("st_b2"), F.col("hx").alias("hxb"))
+    common = (
+        uest.join(ka, "st_a")
+        .filter(F.col("hx") <= F.col("th"))
+        .join(
+            kb,
+            (F.col("st_b") == F.col("st_b2")) & (F.col("hx") == F.col("hxb")),
+        )
+        .groupBy("st_a", "st_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ha = h.select(F.col("st").alias("st_a"), "hx")
+    hb = h.select(F.col("st").alias("st_b"), F.col("hx").alias("hxb"))
+    exact = (
+        ha.join(hb, (F.col("hx") == F.col("hxb")) & (ha.st_a < hb.st_b))
+        .groupBy("st_a", "st_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    ea = est.select(F.col("st").alias("st_a"), F.col("est_d").alias("est_a"))
+    eb = est.select(F.col("st").alias("st_b"), F.col("est_d").alias("est_b"))
+    return (
+        uest.join(ea, "st_a")
+        .join(eb, "st_b")
+        .join(common, ["st_a", "st_b"])
+        .join(exact, ["st_a", "st_b"])
+        .select(
+            "st_a",
+            "st_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.col("n_ret").cast("double")
+                * F.col("est_union"),
+                9,
+            ).alias("est_intersection"),
+            "exact_intersection",
         )
     )

@@ -135,3 +135,123 @@ def test_cms_visible_collision_at_sf001(spark, sf_dir_oracle):
     out = REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir_oracle).collect()
     assert any(r.overcount > 0 for r in out)
     assert any(r.overcount == 0 for r in out)
+
+
+# ------------------------------------------------------------------ kmv
+
+
+def _kmv_h(spark, sf_dir):
+    from nemscraper_spark.queries.common import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12).alias(
+            "hx"
+        ),
+    ).distinct()
+
+
+def test_kmv_prefilter_equivalence(spark, sf_dir_oracle):
+    """The 100 TB build path: prefilter hx < t BEFORE the partitioned
+    sort.  Whenever every set keeps >= k survivors, the prefiltered
+    sketch must be IDENTICAL to the full-sort sketch (the k smallest
+    of a set are unchanged by dropping elements above a threshold that
+    retains at least k)."""
+    from nemscraper_spark.queries.extended_ops import _KMV_K, _kmv_sketch
+
+    h = _kmv_h(spark, sf_dir_oracle)
+    pre = h.filter(F.col("hx") < "4")  # keeps ~1/4 of the hash space
+    survivors = {
+        r.st: r.n
+        for r in pre.groupBy("st").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n >= _KMV_K for n in survivors.values()), survivors
+    full = {(r.st, r.hx) for r in _kmv_sketch(h, "st").collect()}
+    fast = {(r.st, r.hx) for r in _kmv_sketch(pre, "st").collect()}
+    assert fast == full
+
+
+def test_kmv_estimates_track_exact(spark, sf_dir_oracle):
+    """k=128 => ~8.8% expected relative error; pin a generous 35%
+    envelope on every per-set and intersection estimate so a broken
+    estimator (wrong scale constant, off-by-one k) can't hide."""
+    from nemscraper_spark.queries import REGISTRY
+
+    out = REGISTRY["kmv_audience_overlap"].fn(spark, sf_dir_oracle).collect()
+    assert len(out) == 3  # status pairs F/O/P choose 2
+    exact = {
+        r.st: r.n
+        for r in _kmv_h(spark, sf_dir_oracle)
+        .groupBy("st")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert abs(r.est_a - exact[r.st_a]) / exact[r.st_a] < 0.35
+        assert abs(r.est_b - exact[r.st_b]) / exact[r.st_b] < 0.35
+        assert r.exact_intersection > 0
+        assert (
+            abs(r.est_intersection - r.exact_intersection)
+            / r.exact_intersection
+            < 0.35
+        )
+
+
+def test_kmv_exact_mode_below_k(spark, tmp_path):
+    """Sets retaining fewer than k hashes must report their EXACT
+    retained count (DataSketches theta 'exact mode') — pinned on a
+    synthetic orders table whose per-status sets (40/60 customers,
+    overlap 20) sit far below k=128: every estimate must be EXACT, not
+    an extrapolation off a non-saturated sketch."""
+    from nemscraper_spark.queries import REGISTRY
+
+    rows = [(c, "A") for c in range(40)] + [
+        (c, "B") for c in range(20, 80)
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = REGISTRY["kmv_audience_overlap"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.st_a, r.st_b) == ("A", "B")
+    assert r.est_a == 40.0
+    assert r.est_b == 60.0
+    assert r.est_union == 80.0
+    assert r.exact_intersection == 20
+    assert r.est_intersection == pytest.approx(20.0)
+
+
+def test_kmv_union_sketch_is_mergeable(spark, sf_dir_oracle):
+    """KMV mergeability — the scale property: the pairwise union sketch
+    built from the two k-row SKETCHES must equal the sketch built from
+    the raw union of the underlying sets (k smallest of a union = k
+    smallest of the union of each side's k smallest)."""
+    from nemscraper_spark.queries.extended_ops import _KMV_K, _kmv_sketch
+
+    h = _kmv_h(spark, sf_dir_oracle)
+    kmv = _kmv_sketch(h, "st")
+    sts = sorted(r.st for r in h.select("st").distinct().collect())
+    for i, a in enumerate(sts):
+        for b in sts[i + 1 :]:
+            from_sketches = sorted(
+                r.hx
+                for r in _kmv_sketch(
+                    kmv.filter(F.col("st").isin(a, b))
+                    .select(F.lit("u").alias("st"), "hx")
+                    .distinct(),
+                    "st",
+                ).collect()
+            )
+            from_raw = sorted(
+                r.hx
+                for r in _kmv_sketch(
+                    h.filter(F.col("st").isin(a, b))
+                    .select(F.lit("u").alias("st"), "hx")
+                    .distinct(),
+                    "st",
+                ).collect()
+            )
+            assert from_sketches == from_raw
+            assert len(from_raw) == _KMV_K
