@@ -735,3 +735,72 @@ def streaming_static_enrich(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "streaming_interval_join_full",
+    oracle="""
+    WITH le AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'
+    ),
+    fc AS (
+      SELECT user_id AS fc_user, ts AS fc_ts, value AS fc_value
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT e.event_id, e.user_id, e.ts, f.fc_user, f.fc_ts, f.fc_value
+    FROM le e
+    FULL JOIN fc f
+      ON e.user_id = f.fc_user
+     AND f.fc_ts >= e.ts - INTERVAL '1 hour'
+     AND f.fc_ts <= e.ts
+    """,
+    tags=("streaming", "J5", "outer"),
+)
+def streaming_interval_join_full(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — the last cell of the
+    streaming join matrix (inner: streaming_interval_join; left outer:
+    streaming_interval_join_outer).  Left side = non-error events,
+    right side = the forecast slice; the corpus then exercises ALL
+    THREE row classes (432 matched, 7,554 left-only, 95 right-only at
+    sf0.01): forecasts with no in-window event emit NULL-padded LEFT
+    columns — the reconciliation shape ("which forecasts never saw a
+    session?") a left join cannot answer.
+
+    Same correctness contract as the left-outer entry, now on both
+    sides: an unmatched row may only flush once BOTH watermarks pass
+    its match window; the far-future sentinel per side (see
+    _staged_outer_join_stream) advances the final watermark so the
+    bounded AvailableNow drain releases every pending row, and the
+    batch FULL JOIN oracle pins the complete output hash-exact.  State
+    stays the 1-hour horizon of both sides, independent of history."""
+    stream = _staged_outer_join_stream(spark, sf_dir)
+    left = (
+        stream.filter(F.col("event_type") != "error")
+        .select("event_id", "user_id", "ts", F.col("ts_w").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    right = (
+        stream.filter(F.col("event_id") % 20 == 0)
+        .select(
+            F.col("user_id").alias("fc_user"),
+            F.col("ts").alias("fc_ts"),
+            F.col("ts_w").alias("f_ts"),
+            F.col("value").alias("fc_value"),
+        )
+        .withWatermark("f_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("fc_user"))
+        & (F.col("f_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("f_ts") <= F.col("e_ts")),
+        "fullOuter",
+    ).select("event_id", "user_id", "ts", "fc_user", "fc_ts", "fc_value")
+    out = _run_to_memory(
+        joined, "nemspark_streaming_interval_join_full", "append",
+        width=_state_width(spark, sf_dir),
+    )
+    return out.filter(
+        (F.col("user_id").isNull() | (F.col("user_id") >= 0))
+        & (F.col("fc_user").isNull() | (F.col("fc_user") >= 0))
+    )

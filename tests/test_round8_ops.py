@@ -255,3 +255,27 @@ def test_kmv_union_sketch_is_mergeable(spark, sf_dir_oracle):
             )
             assert from_sketches == from_raw
             assert len(from_raw) == _KMV_K
+
+
+# ------------------------------------------------- streaming full outer
+
+
+def test_streaming_full_outer_emits_all_three_row_classes(
+    spark, sf_dir_oracle
+):
+    """FULL OUTER must emit matched, left-only (NULL forecast), and
+    right-only (NULL event) rows, with every sentinel filtered out —
+    the three-class coverage that distinguishes it from the left-outer
+    entry."""
+    out = (
+        REGISTRY["streaming_interval_join_full"]
+        .fn(spark, sf_dir_oracle)
+        .collect()
+    )
+    matched = [r for r in out if r.event_id is not None and r.fc_user is not None]
+    left_only = [r for r in out if r.fc_user is None]
+    right_only = [r for r in out if r.event_id is None]
+    assert matched and left_only and right_only
+    assert len(matched) + len(left_only) + len(right_only) == len(out)
+    assert all((r.user_id is None or r.user_id >= 0) for r in out)
+    assert all((r.fc_user is None or r.fc_user >= 0) for r in out)
