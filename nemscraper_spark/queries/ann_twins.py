@@ -1010,3 +1010,170 @@ def sketch_profile_exact(spark, sf_dir):
         F.expr("percentile(value, 0.99D)").alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+_RRF_ORACLE = f"""
+    WITH {_IV_SQL},
+    sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS9.format(q="q.e", c="c.e")} AS cosine,
+             CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> CASE WHEN (q.e[i] >= 0) <> (c.e[i] >= 0)
+                           THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+      FROM iv q JOIN iv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    rc AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM sc
+      ) WHERE rk <= 20
+    ),
+    rd AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ham ASC, neighbor_id) AS rk
+        FROM sc
+      ) WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(rc.query_id, rd.query_id) AS query_id,
+             COALESCE(rc.neighbor_id, rd.neighbor_id) AS neighbor_id,
+             CAST(rc.rk AS INTEGER) AS rank_cos,
+             CAST(rd.rk AS INTEGER) AS rank_ham,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + rc.rk), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + rd.rk), CAST(0 AS DOUBLE))
+               AS score
+      FROM rc
+      FULL JOIN rd ON rc.query_id = rd.query_id
+                  AND rc.neighbor_id = rd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank_cos, rank_ham,
+           ROUND(score, 9) AS rrf_score,
+           CAST(fr AS INTEGER) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS fr
+      FROM fused
+    ) WHERE fr <= 5
+"""
+
+
+@register("rank_fusion_rrf", oracle=_RRF_ORACLE, tags=("similarity", "retrieval"))
+def rank_fusion_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankings (Cormack,
+    Clarke & Büttcher, SIGIR'09) — the standard hybrid-retrieval
+    combiner in RAG stacks: each ranker contributes 1/(60 + rank) for
+    the documents in its top-20, missing entries contribute 0, and the
+    fused top-5 is what the pipeline serves.  Rankers here: exact
+    integer-grid COSINE (the dense scorer) and sign-signature HAMMING
+    distance (the binary-sketch scorer an index serves cheaply —
+    embedding_sign_signature's ranking; raw dot was rejected: this
+    corpus is near-unit-norm, so dot collapses into cosine, while the
+    1-bit quantization genuinely reorders 57 of the 61 shared top-20
+    entries).  Both bit-deterministic, so the fused scores themselves
+    sit behind the driver's hash gate (k=60 per the paper).
+
+    Scale shape: RRF consumes RANKED LISTS, not the corpus — the
+    per-ranker top-k lists are (queries x k) rows however the
+    candidates were produced (here the bounded 10-query brute-force
+    baseline; in production the LSH/IVF bucketed stages of ann_* feed
+    identical lists).  The fuse is one full-outer equi-join on
+    (query, doc) + one window over <= 2k rows per query — independent
+    of corpus size by construction."""
+    from pyspark.sql import Window
+
+    e = _int_grid(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    pairs = F.broadcast(q).join(c, q.query_id != c.neighbor_id)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    dot = idot(F.col("qe"), F.col("ce"))
+    qq = idot(F.col("qe"), F.col("qe"))
+    cc = idot(F.col("ce"), F.col("ce"))
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("ce"),
+            lambda x, y: F.when((x >= 0) != (y >= 0), 1).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sc = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(qq.cast("double")) * F.sqrt(cc.cast("double"))),
+            9,
+        ).alias("cosine"),
+        ham.alias("ham"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("ham").asc(), "neighbor_id"
+    )
+    rc = (
+        sc.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= 20)
+        .select("query_id", "neighbor_id", F.col("rk").alias("rank_cos"))
+    )
+    rd = (
+        sc.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("query_id").alias("query_id_d"),
+            F.col("neighbor_id").alias("neighbor_id_d"),
+            F.col("rk").alias("rank_ham"),
+        )
+    )
+    one = F.lit(1).cast("double")
+    zero = F.lit(0).cast("double")
+    fused = (
+        rc.join(
+            rd,
+            (F.col("query_id") == F.col("query_id_d"))
+            & (F.col("neighbor_id") == F.col("neighbor_id_d")),
+            "fullOuter",
+        )
+        .select(
+            F.coalesce("query_id", "query_id_d").alias("query_id"),
+            F.coalesce("neighbor_id", "neighbor_id_d").alias("neighbor_id"),
+            F.col("rank_cos").cast("int").alias("rank_cos"),
+            F.col("rank_ham").cast("int").alias("rank_ham"),
+            (
+                F.coalesce(one / (F.lit(60) + F.col("rank_cos")), zero)
+                + F.coalesce(one / (F.lit(60) + F.col("rank_ham")), zero)
+            ).alias("score"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    return (
+        fused.withColumn("fr", F.row_number().over(wf))
+        .filter(F.col("fr") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_cos",
+            "rank_ham",
+            F.round("score", 9).alias("rrf_score"),
+            F.col("fr").cast("int").alias("fused_rank"),
+        )
+    )

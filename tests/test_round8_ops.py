@@ -279,3 +279,34 @@ def test_streaming_full_outer_emits_all_three_row_classes(
     assert len(matched) + len(left_only) + len(right_only) == len(out)
     assert all((r.user_id is None or r.user_id >= 0) for r in out)
     assert all((r.fc_user is None or r.fc_user >= 0) for r in out)
+
+
+# ------------------------------------------------------------------ rrf
+
+
+def test_rrf_fuses_two_genuinely_different_rankers(spark, sf_dir_oracle):
+    """Cosine and sign-Hamming rankings must actually DISAGREE
+    somewhere (else the fusion degenerates — raw dot did, on this
+    near-unit-norm corpus), every fused score must equal the
+    recomputed 1/(60+rank) sum, and double-listed docs dominate: any
+    doc in BOTH top-20s scores above the 1/61 ceiling of a doc in only
+    one."""
+    out = REGISTRY["rank_fusion_rrf"].fn(spark, sf_dir_oracle).collect()
+    assert len(out) == 50  # 10 queries x fused top-5
+    assert any(
+        r.rank_cos is not None
+        and r.rank_ham is not None
+        and r.rank_cos != r.rank_ham
+        for r in out
+    )
+    both = [r for r in out if r.rank_cos is not None and r.rank_ham is not None]
+    assert both
+    for r in out:
+        want = (1.0 / (60 + r.rank_cos) if r.rank_cos is not None else 0.0) + (
+            1.0 / (60 + r.rank_ham) if r.rank_ham is not None else 0.0
+        )
+        assert r.rrf_score == pytest.approx(want, abs=1e-9)
+    worst_both = min(
+        1.0 / (60 + r.rank_cos) + 1.0 / (60 + r.rank_ham) for r in both
+    )
+    assert worst_both > 2.0 / 80.0 > 1.0 / 61.0
