@@ -1609,3 +1609,182 @@ def kmv_audience_overlap(spark, sf_dir):
             "exact_intersection",
         )
     )
+
+
+@register(
+    "dq_expectations_report",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE value IS NULL) AS DOUBLE)
+               / COUNT(*) AS null_value_fraction,
+             CAST(COUNT(*) FILTER (WHERE event_type NOT IN
+               ('click','error','purchase','signup','view')) AS DOUBLE)
+               AS domain_violations
+      FROM events
+    ),
+    evmax AS (
+      SELECT CAST(MAX(n) AS DOUBLE) AS per_user_max FROM (
+        SELECT COUNT(*) AS n FROM events GROUP BY user_id
+      )
+    ),
+    ri_o AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    ),
+    ri_l AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    ),
+    uq AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS dup_keys FROM (
+        SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1
+      )
+    ),
+    rng AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS DOUBLE)
+               AS nonpositive
+      FROM lineitem
+    ),
+    doc AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS DOUBLE)
+               AS mismatches
+      FROM documents
+    )
+    SELECT constraint_name, measured, threshold,
+           measured <= threshold AS pass
+    FROM (
+      SELECT 'ri_orders_custkey_orphans' AS constraint_name,
+             orphans AS measured, CAST(0 AS DOUBLE) AS threshold FROM ri_o
+      UNION ALL
+      SELECT 'ri_lineitem_orderkey_orphans', orphans, CAST(0 AS DOUBLE)
+      FROM ri_l
+      UNION ALL
+      SELECT 'uniq_customer_custkey_dups', dup_keys, CAST(0 AS DOUBLE)
+      FROM uq
+      UNION ALL
+      SELECT 'null_events_value_fraction', null_value_fraction,
+             CAST(0.01 AS DOUBLE) FROM ev
+      UNION ALL
+      SELECT 'domain_event_type_violations', domain_violations,
+             CAST(0 AS DOUBLE) FROM ev
+      UNION ALL
+      SELECT 'volume_events_per_user_max', per_user_max,
+             CAST(50 AS DOUBLE) FROM evmax
+      UNION ALL
+      SELECT 'range_lineitem_price_nonpositive', nonpositive,
+             CAST(0 AS DOUBLE) FROM rng
+      UNION ALL
+      SELECT 'consistency_doc_nchars_matches_text', mismatches,
+             CAST(0 AS DOUBLE) FROM doc
+    )
+    """,
+    tags=("quality", "profile", "M7"),
+)
+def dq_expectations_report(spark, sf_dir):
+    """Constraint-suite validation (the Deequ / Great Expectations
+    pattern, Schelter et al. VLDB'18): one row per declared expectation
+    with the MEASURED statistic, its threshold, and the pass verdict —
+    referential integrity (orders→customer, lineitem→orders),
+    key uniqueness, null-fraction, categorical domain, value range,
+    cross-column consistency (n_chars == length(text)), and a per-key
+    volume guard.  The volume constraint genuinely FAILS on this
+    corpus (~67 events/user vs the 50 cap), so both verdict branches
+    flow through the gate; everything else measures 0 violations —
+    measured VALUES are hash-gated, not just booleans, so a silently
+    weakened check cannot keep reporting pass.
+
+    Scale shape: Deequ's trick is batching a table's constraints into
+    ONE scan — here the three events expectations share a single
+    aggregate (null fraction + domain violations) plus one bounded
+    two-level agg (per-user max); referential integrity is a
+    broadcast-able LEFT anti pattern on the dim key; every other check
+    is a map-side-combinable aggregate.  The report itself is 8 rows —
+    the shape a 100 TB nightly DQ gate emits into its audit table."""
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    ev_agg = ev.agg(
+        (
+            F.count(F.when(F.col("value").isNull(), 1)).cast("double")
+            / F.count("*")
+        ).alias("null_value_fraction"),
+        F.count(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view"
+                ),
+                1,
+            )
+        )
+        .cast("double")
+        .alias("domain_violations"),
+    )
+    ev_max = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").cast("double").alias("per_user_max"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = fan_out(load_table(spark, sf_dir, "lineitem"))
+    ri_o = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").cast("double").alias("orphans"))
+    )
+    ri_l = (
+        lineitem.join(
+            F.broadcast(orders.select("o_orderkey")),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count("*").cast("double").alias("orphans"))
+    )
+    uq = (
+        customer.groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").cast("double").alias("dup_keys"))
+    )
+    rng = lineitem.agg(
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1))
+        .cast("double")
+        .alias("nonpositive")
+    )
+    doc = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1))
+        .cast("double")
+        .alias("mismatches")
+    )
+
+    def row(name, df, col, threshold):
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(col).alias("measured"),
+            F.lit(threshold).cast("double").alias("threshold"),
+        )
+
+    report = (
+        row("ri_orders_custkey_orphans", ri_o, "orphans", 0.0)
+        .unionAll(row("ri_lineitem_orderkey_orphans", ri_l, "orphans", 0.0))
+        .unionAll(row("uniq_customer_custkey_dups", uq, "dup_keys", 0.0))
+        .unionAll(
+            row("null_events_value_fraction", ev_agg, "null_value_fraction", 0.01)
+        )
+        .unionAll(
+            row("domain_event_type_violations", ev_agg, "domain_violations", 0.0)
+        )
+        .unionAll(row("volume_events_per_user_max", ev_max, "per_user_max", 50.0))
+        .unionAll(
+            row("range_lineitem_price_nonpositive", rng, "nonpositive", 0.0)
+        )
+        .unionAll(
+            row("consistency_doc_nchars_matches_text", doc, "mismatches", 0.0)
+        )
+    )
+    return report.withColumn(
+        "pass", F.col("measured") <= F.col("threshold")
+    )

@@ -310,3 +310,26 @@ def test_rrf_fuses_two_genuinely_different_rankers(spark, sf_dir_oracle):
         1.0 / (60 + r.rank_cos) + 1.0 / (60 + r.rank_ham) for r in both
     )
     assert worst_both > 2.0 / 80.0 > 1.0 / 61.0
+
+
+# ------------------------------------------------------------------- dq
+
+
+def test_dq_report_exercises_both_verdicts(spark, sf_dir_oracle):
+    """The expectations suite must flow BOTH branches: the per-user
+    volume guard genuinely fails on this corpus, everything else
+    passes with measured == 0 violations; pass is derived from the
+    measured value, never stored independently."""
+    out = {
+        r.constraint_name: r
+        for r in REGISTRY["dq_expectations_report"]
+        .fn(spark, sf_dir_oracle)
+        .collect()
+    }
+    assert len(out) == 8
+    failing = [n for n, r in out.items() if not r["pass"]]
+    passing = [n for n, r in out.items() if r["pass"]]
+    assert failing == ["volume_events_per_user_max"]
+    assert len(passing) == 7
+    for r in out.values():
+        assert r["pass"] == (r.measured <= r.threshold)
