@@ -333,3 +333,36 @@ def test_dq_report_exercises_both_verdicts(spark, sf_dir_oracle):
     assert len(passing) == 7
     for r in out.values():
         assert r["pass"] == (r.measured <= r.threshold)
+
+
+# ------------------------------------------------------------ plan pins
+
+
+def test_cms_topk_plan_is_take_ordered(spark, sf_dir_oracle):
+    """The heavy-hitter probe side must plan as TakeOrderedAndProject
+    (top-k over the survivor set), never a global sort."""
+    plan = (
+        REGISTRY["cms_heavy_hitters"]
+        .fn(spark, sf_dir_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_referential_checks_broadcast(spark, sf_dir_oracle):
+    """The RI anti-joins must broadcast the dim-key side — a
+    shuffled anti-join on the fact table is the plan that dies first
+    at 100 TB — and nothing in the suite may fall back to a nested
+    loop."""
+    plan = (
+        REGISTRY["dq_expectations_report"]
+        .fn(spark, sf_dir_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
