@@ -747,6 +747,24 @@ def _md5_band_candidates(sh, n_perm: int, band_size: int):
     )
 
 
+# Counted-pairs trunk memoization: the (doc_a, doc_b, n_common, na,
+# nb) frame at a given band geometry is identical for every consumer
+# in a session — at (16, 4) four registered queries rebuild it
+# (minhash_lsh_pairs, dup_triangle_density, dup_graph_core_peel, the
+# band-curve arm) and at (8, 2) three more — so it is built ONCE per
+# (applicationId, sf_dir, geometry) and persisted.  Unlike the
+# shingle/band frames (large, codegen-fused, cached only behind
+# SPARK_GRAFT_FAMILY_CACHE — see the note above _SHINGLE_CACHE), the
+# counted frame is the trunk's tiny OUTPUT (one row per band-bucket
+# candidate pair), so the persist barrier is near-free and each reuse
+# saves the whole explode→min-agg→bucket-join→count-join trunk — the
+# same trade that cut the ANN family ~65% (_GRID_CACHE).  Keyed by
+# the load_table provenance tag; a transformed frame (e.g. the
+# dedup-groups representatives slice) carries no tag and bypasses the
+# cache rather than ever serving a mismatched frame.
+_COUNTED_CACHE: dict[tuple[str, str, int, int], object] = {}
+
+
 def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
     """Shared md5-LSH verify machinery over a (doc_id, text) frame:
     band-bucket candidates joined back to the shingle table on equal
@@ -764,7 +782,22 @@ def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
     wrong" #1).  The inner join emits no row for a candidate pair
     with zero common shingles — vacuous here, since a bucket
     collision means equal min-md5 within the band, so the pair shares
-    its argmin shingle and n_common >= 1 always."""
+    its argmin shingle and n_common >= 1 always.
+
+    Memoized + persisted per (session, sf_dir, geometry) when ``d``
+    is the untransformed documents table (see _COUNTED_CACHE)."""
+    tag = getattr(d, "_sg_table_tag", None)
+    key = None
+    if tag is not None and tag[1] == "documents":
+        key = (
+            d.sparkSession.sparkContext.applicationId,
+            tag[0],
+            n_perm,
+            band_size,
+        )
+        hit = _COUNTED_CACHE.get(key)
+        if hit is not None:
+            return hit
     sh = _shingle_frame(d)
     cand = _md5_band_candidates(sh, n_perm, band_size)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -778,7 +811,13 @@ def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return inter.join(ca, "doc_a").join(cb, "doc_b")
+    out = inter.join(ca, "doc_a").join(cb, "doc_b")
+    if key is not None:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        _COUNTED_CACHE[key] = out
+    return out
 
 
 def lsh_verified_pairs_md5(d, threshold: float, n_perm: int = 8, band_size: int = 2):
@@ -919,25 +958,38 @@ def dedup_incremental_delta(spark, sf_dir):
         .select("doc_new", "doc_matched")
         .distinct()
     )
+    # Verify in the equi-join COUNT form (the same shape that retired
+    # collect_set from the md5 trunk in round 8): candidates joined
+    # back to the shingle table on equal shingle, groupBy-count
+    # n_common, Jaccard from per-doc shingle counts.  No per-doc
+    # shingle SET is ever materialized in an aggregation buffer — a
+    # pathological document costs bounded (doc, shingle) shuffle rows,
+    # not one executor-resident array.  The inner count join loses no
+    # candidate: a band-bucket collision means equal min-md5 within
+    # the band, so every pair shares its argmin shingle and
+    # n_common >= 1 (the oracle's inter CTE is the same inner join).
     cand_docs = (
         cand.select(F.col("doc_new").alias("doc_id"))
         .union(cand.select(F.col("doc_matched").alias("doc_id")))
         .distinct()
     )
-    sets = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("ss"))
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    cnt = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh_cand.select(F.col("doc_id").alias("doc_new"), "shingle")
+    sh_b = sh_cand.select(F.col("doc_id").alias("doc_matched"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_new")
+        .join(sh_b, ["doc_matched", "shingle"])
+        .groupBy("doc_new", "doc_matched")
+        .agg(F.count("*").alias("n_common"))
     )
-    sa = sets.select(F.col("doc_id").alias("doc_new"), F.col("ss").alias("sa"))
-    sb = sets.select(
-        F.col("doc_id").alias("doc_matched"), F.col("ss").alias("sb")
+    ca = cnt.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
+    cb = cnt.select(
+        F.col("doc_id").alias("doc_matched"), F.col("n").alias("nb")
     )
-    pairs = cand.join(sa, "doc_new").join(sb, "doc_matched")
-    n_common = F.size(F.array_intersect("sa", "sb")).cast("bigint")
-    jac = n_common.cast("double") / (
-        F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - n_common
-    )
+    pairs = inter.join(ca, "doc_new").join(cb, "doc_matched")
+    n_common = F.col("n_common").cast("bigint")
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return pairs.filter(jac >= 0.2).select(
         "doc_new",
         "doc_matched",
@@ -1011,27 +1063,42 @@ def lsh_verified_pairs(d, threshold: float = 0.2):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # pair-local exact verify: aggregate each candidate doc's shingles
-    # into a 64-bit-hash set, join each candidate PAIR to its two sets,
-    # and intersect inside the row. Unlike a shingle self-join this
-    # never materializes (doc_a, doc_b, shingle) rows — a hot shingle
-    # shared by m candidate docs costs m set entries, not m^2 join rows
-    # — and the per-pair work is an O(|a|+|b|) hash intersect under
-    # codegen. AQE broadcasts the set table when candidates are few;
-    # at scale it stays a shuffle join keyed by doc id (no skew: doc
-    # ids are unique on the build side).
-    sets = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("ss"))
+    # pair-local exact verify in the equi-join COUNT form (the shape
+    # that retired collect_set from the md5 trunk in round 8), over
+    # 64-bit shingle hashes — xxhash64 keys make the count join's
+    # shuffle ~4x cheaper than the md5 path's shingle strings, which
+    # is exactly why this stays the library-default parameterization.
+    # No per-doc hash SET is ever materialized in an aggregation
+    # buffer: a pathological document costs bounded (doc, hash)
+    # shuffle rows, not one executor-resident array.  countDistinct
+    # reproduces the retired set semantics exactly (equal-hash
+    # shingles — vanishingly rare at 64 bits — collapse, as they did
+    # in the collect_set).  The inner count join loses no candidate:
+    # a bucket collision means equal min-xxhash within the band, so
+    # every candidate pair shares its argmin shingle and n_common >=
+    # 1.  AQE broadcasts the hash table when candidates are few; at
+    # scale it stays a shuffle join keyed by (doc_b, h) — no skew:
+    # per-doc shingles are distinct, so key multiplicity is bounded
+    # by the candidate fan-in, not by shingle popularity.
+    hsel = sh.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
-    n_common = F.size(F.array_intersect("sa", "sb"))
-    jac = n_common.cast("double") / (F.size("sa") + F.size("sb") - n_common)
+    cnt = hsel.groupBy("doc_id").agg(F.countDistinct("h").alias("n"))
+    ha = hsel.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hsel.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("h").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    n_common = F.col("n_common")
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
@@ -2671,37 +2738,45 @@ def minhash_jaccard_estimate(spark, sf_dir):
             "doc_a", "doc_b", n_agree.alias("n_agree")
         )
     )
-    # exact Jaccard ONLY for candidate pairs, via the same pair-local
-    # set-intersect as lsh_verified_pairs: semi-join the inverted index
-    # down to candidate docs, aggregate each doc's shingles into a set,
-    # intersect inside the pair row. Never a shingle self-join — a hot
-    # shingle shared by m docs costs m set entries, not m^2 join rows.
-    # Every candidate pair shares its argmin shingle (equal min-sig =>
-    # same shingle), so n_common >= 1 and no pair is lost vs the
-    # oracle's inner join to the full intersection CTE. The sets hold
-    # the shingle STRINGS — identical value sets to the oracle's
-    # intersection, so neither n_common nor the size(ss) denominator
-    # can be perturbed by a hash collision.
+    # exact Jaccard ONLY for candidate pairs, in the equi-join COUNT
+    # form (the shape that retired collect_set from the md5 trunk in
+    # round 8): semi-join the inverted index down to candidate docs,
+    # join the candidate pairs back to it on equal shingle STRING,
+    # groupBy-count n_common, Jaccard from per-doc shingle counts.
+    # Never a shingle self-join — the join fans out on the candidate
+    # pair list, not on shingle popularity — and no per-doc shingle
+    # SET is ever materialized in an aggregation buffer (a
+    # pathological document costs bounded (doc, shingle) shuffle rows,
+    # not one executor-resident array). Every candidate pair shares
+    # its argmin shingle (equal min-sig => same shingle), so n_common
+    # >= 1 and the inner count join loses no pair vs the oracle's
+    # intersection CTE. Counts are over the shingle strings the
+    # oracle itself counts, so neither n_common nor the per-doc
+    # denominators can be perturbed by a hash collision.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sets = (
-        sh.join(cand_docs, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("ss"))
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    cnt = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
     )
-    pa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
-    pb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
-    n_common = F.size(F.array_intersect("ssa", "ssb")).cast("long")
-    jac = n_common.cast("double") / (
-        F.size("ssa").cast("long") + F.size("ssb").cast("long") - n_common
-    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    n_common = F.col("n_common")
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     est = F.col("n_agree") / F.lit(8.0)
     return (
-        agree.join(pa, "doc_a")
-        .join(pb, "doc_b")
+        agree.join(inter, ["doc_a", "doc_b"])
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

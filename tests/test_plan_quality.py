@@ -339,6 +339,11 @@ def test_lsh_md5_no_shingle_self_join(spark, sf_dir):
         "minhash_lsh_pairs_md5",
         "minhash_containment_pairs",
         "lsh_band_curve_report",
+        # the round-9 retirements: the last three candidate-restricted
+        # verify sites outside the md5 trunk (round-8 verdict, "What's
+        # wrong" #1)
+        "dedup_incremental_delta",
+        "minhash_jaccard_estimate",
     ):
         p = plan(REGISTRY[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in p, name
@@ -348,6 +353,21 @@ def test_lsh_md5_no_shingle_self_join(spark, sf_dir):
             # one-row arm that way, by design (see its docstring)
             assert "BroadcastNestedLoopJoin" not in p, name
         assert "collect_set" not in p and "array_intersect" not in p, name
+
+
+def test_lsh_xxhash_default_no_collect_set(spark, sf_dir):
+    """The xxhash library-default pipeline (lsh_verified_pairs — not a
+    registered query, the cheaper production parameterization) carries
+    the same round-9 count-form verify: no per-doc shingle-hash set in
+    any aggregation buffer, candidates from equi-joins only."""
+    from nemscraper_spark.queries.common import load_table
+    from nemscraper_spark.queries.training_data import lsh_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    p = plan(lsh_verified_pairs(d, threshold=0.2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "collect_set" not in p and "array_intersect" not in p
 
 
 def test_sql_views_push_down(spark, sf_dir):
