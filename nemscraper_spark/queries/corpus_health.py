@@ -879,12 +879,17 @@ def token_budget_cut_per_source(spark, sf_dir):
 
 # ------------------------------------------------- distribution drift --
 
-_KS_SQL = """
+
+def _ks_sql(vexpr: str) -> str:
+    """The exact two-sample KS oracle over any integer value
+    expression — `n_chars` for the raw-value query, a fixed-width
+    bucket expression for the domain-bounded variant."""
+    return f"""
     WITH counts AS (
-      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      SELECT source, {vexpr} AS v, CAST(COUNT(*) AS BIGINT) AS c
       FROM documents GROUP BY 1, 2
     ),
-    grid AS (SELECT DISTINCT n_chars AS v FROM documents),
+    grid AS (SELECT DISTINCT {vexpr} AS v FROM documents),
     srcs AS (
       SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY source
     ),
@@ -925,6 +930,9 @@ _KS_SQL = """
 """
 
 
+_KS_SQL = _ks_sql("n_chars")
+
+
 @register("ks_drift_by_source", oracle=_KS_SQL, tags=("quality", "drift"))
 def ks_drift_by_source(spark, sf_dir):
     """EXACT two-sample Kolmogorov–Smirnov drift per source: for each
@@ -945,15 +953,29 @@ def ks_drift_by_source(spark, sf_dir):
 
     Scale: per-(source, value) counts partial-aggregate map-side; the
     evaluation lattice is sources × DISTINCT VALUES (bounded by the
-    value domain, not row count — bucket the value first when drifting
-    an unbounded domain).  The one global window (corpus CDF) orders
-    the bounded value GRID, not rows.  No all-pairs source comparison:
-    each source tests against the corpus complement, so adding a
-    source adds one lattice slice."""
+    value domain, not row count).  The one global window (corpus CDF)
+    orders the value GRID, not rows — the source of the WindowExec
+    single-partition warning, and it is SAFE exactly while the grid is
+    small: n_chars is integral and practically bounded, so the window
+    input is the distinct-length lattice (a few thousand rows at any
+    corpus size).  CAVEAT, 100 TB: on a continuous or unbounded value
+    column the lattice approaches row count and this window
+    centralizes — drift such columns through ks_drift_bucketed, which
+    caps the grid at a fixed bucket count by construction.  No
+    all-pairs source comparison: each source tests against the corpus
+    complement, so adding a source adds one lattice slice."""
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count("*").alias("c")
     )
+    return _ks_from_counts(counts)
+
+
+def _ks_from_counts(counts):
+    """Exact two-sample KS report from a (source, v, c) counts frame —
+    the shared core of ks_drift_by_source (raw integral values) and
+    ks_drift_bucketed (fixed-width buckets). The window/lattice scale
+    analysis lives on the two registered queries."""
     # every downstream branch derives from `counts`, so the one
     # (source, v) exchange is the shared trunk AQE can reuse: srcs and
     # gcum re-aggregate it, the value grid is gcum's key set, and the
@@ -1019,6 +1041,50 @@ def ks_drift_by_source(spark, sf_dir):
             F.col("diff").alias("ks_stat"),
             F.col("v").cast("long").alias("ks_at_value"),
         )
+    )
+
+
+_KS_BUCKET_WIDTH = 64
+
+
+@register(
+    "ks_drift_bucketed",
+    oracle=f"""
+    SELECT source, n_source, n_rest, ks_stat,
+           ks_at_value AS ks_at_bucket,
+           CAST(ks_at_value * {_KS_BUCKET_WIDTH} AS BIGINT) AS bucket_lo
+    FROM ({_ks_sql(f"(n_chars // {_KS_BUCKET_WIDTH})")})
+    """,
+    tags=("quality", "drift"),
+)
+def ks_drift_bucketed(spark, sf_dir):
+    """Two-sample KS drift per source over FIXED-WIDTH VALUE BUCKETS —
+    the domain-bounded form of ks_drift_by_source for continuous or
+    unbounded columns.  The CDFs are evaluated on the bucket lattice
+    (width {_KS_BUCKET_WIDTH} chars here), so the global cumulative
+    window's input is capped at domain/width rows BY CONSTRUCTION —
+    never row count — which removes the only centralization point the
+    raw-value query carries at 100 TB (its grid is the distinct-value
+    set, fine for integral lengths, unbounded for continuous scores).
+    The statistic is the exact KS over the bucketed distributions:
+    binning coarsens where inside a bucket the gap peaks (reported as
+    bucket_lo, the bucket's inclusive lower bound) but every count,
+    division, and tie-break is still replayed bit-for-bit by the
+    oracle.  Same single-scan counts trunk, same complement test."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = d.groupBy(
+        "source", F.expr(f"n_chars DIV {_KS_BUCKET_WIDTH}").alias("v")
+    ).agg(F.count("*").alias("c"))
+    rep = _ks_from_counts(counts)
+    return rep.select(
+        "source",
+        "n_source",
+        "n_rest",
+        "ks_stat",
+        F.col("ks_at_value").alias("ks_at_bucket"),
+        (F.col("ks_at_value") * _KS_BUCKET_WIDTH)
+        .cast("long")
+        .alias("bucket_lo"),
     )
 
 

@@ -1474,15 +1474,17 @@ def _kmv_sketch(h, set_col: str):
     SELECT u.st_a, u.st_b,
            ea.est_d AS est_a, eb.est_d AS est_b,
            u.est_union,
-           c.n_common,
-           ROUND(CAST(c.n_common AS DOUBLE) / CAST(u.n_ret AS DOUBLE)
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                 / CAST(u.n_ret AS DOUBLE)
                  * u.est_union, 9) AS est_intersection,
-           x.exact_intersection
+           CAST(COALESCE(x.exact_intersection, 0) AS BIGINT)
+             AS exact_intersection
     FROM uest u
     JOIN est ea ON ea.st = u.st_a
     JOIN est eb ON eb.st = u.st_b
-    JOIN common c ON c.st_a = u.st_a AND c.st_b = u.st_b
-    JOIN exact x ON x.st_a = u.st_a AND x.st_b = u.st_b
+    LEFT JOIN common c ON c.st_a = u.st_a AND c.st_b = u.st_b
+    LEFT JOIN exact x ON x.st_a = u.st_a AND x.st_b = u.st_b
     """,
     tags=("A-approx", "sketch", "set-ops"),
 )
@@ -1588,25 +1590,32 @@ def kmv_audience_overlap(spark, sf_dir):
     )
     ea = est.select(F.col("st").alias("st_a"), F.col("est_d").alias("est_a"))
     eb = est.select(F.col("st").alias("st_b"), F.col("est_d").alias("est_b"))
+    # LEFT joins + coalesce-to-0: a status pair with zero shared sketch
+    # hashes (or zero exact intersection) must still appear in the
+    # report with overlap 0 — an inner join would silently drop
+    # disjoint audience pairs (round-8 ADVICE).
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
     return (
         uest.join(ea, "st_a")
         .join(eb, "st_b")
-        .join(common, ["st_a", "st_b"])
-        .join(exact, ["st_a", "st_b"])
+        .join(common, ["st_a", "st_b"], "left")
+        .join(exact, ["st_a", "st_b"], "left")
         .select(
             "st_a",
             "st_b",
             "est_a",
             "est_b",
             "est_union",
-            "n_common",
+            n_common.alias("n_common"),
             F.round(
-                F.col("n_common").cast("double")
+                n_common.cast("double")
                 / F.col("n_ret").cast("double")
                 * F.col("est_union"),
                 9,
             ).alias("est_intersection"),
-            "exact_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
         )
     )
 

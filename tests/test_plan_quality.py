@@ -355,6 +355,39 @@ def test_lsh_md5_no_shingle_self_join(spark, sf_dir):
         assert "collect_set" not in p and "array_intersect" not in p, name
 
 
+def test_ks_global_window_runs_on_value_lattice(spark, sf_dir):
+    """The KS queries carry exactly ONE unpartitioned window each (the
+    corpus-CDF cumsum — the WindowExec single-partition warning in the
+    bench tail): its input must be the distinct-VALUE grid, never
+    document rows.  Pinned two ways: (a) the plan's global window sits
+    over an aggregate keyed by v, so its input cardinality is the
+    lattice; (b) the bucketed variant's lattice is capped at
+    domain/width by construction — the 100 TB form for continuous
+    columns (see both docstrings)."""
+    from nemscraper_spark.queries.common import load_table
+    from nemscraper_spark.queries.corpus_health import _KS_BUCKET_WIDTH
+
+    import re
+
+    d = load_table(spark, sf_dir, "documents")
+    n_rows = d.count()
+    for name in ("ks_drift_by_source", "ks_drift_bucketed"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        # an unpartitioned window spec ORDERS BY v directly (the
+        # partitioned specs all lead with source) — i.e. the global
+        # cumsum runs over the v-keyed aggregate, the value lattice
+        n_global = len(re.findall(r"windowspecdefinition\(v#\d+", p))
+        assert n_global == 1, (name, n_global)
+    n_vals = d.select("n_chars").distinct().count()
+    n_buckets = d.select(
+        F.expr(f"n_chars DIV {_KS_BUCKET_WIDTH}")
+    ).distinct().count()
+    assert n_buckets <= n_vals < n_rows
+    # the bucketed grid is bounded by domain/width, not by data volume
+    max_chars = d.agg(F.max("n_chars")).first()[0]
+    assert n_buckets <= max_chars // _KS_BUCKET_WIDTH + 1
+
+
 def test_lsh_xxhash_default_no_collect_set(spark, sf_dir):
     """The xxhash library-default pipeline (lsh_verified_pairs — not a
     registered query, the cheaper production parameterization) carries
