@@ -368,3 +368,143 @@ def test_verify_matches_collectset_reference(spark, sf_dir_oracle):
         )
         assert ref == got, (n_perm, band_size, len(ref), len(got))
         assert len(ref) > 0, "degenerate corpus: no verified pairs"
+
+
+def test_counted_pairs_cache_provenance(spark, sf_dir_oracle):
+    """The round-9 counted-pairs memoization must only ever serve a
+    frame it can PROVE matches what the caller would have built:
+    (a) same tagged documents frame + same geometry -> the identical
+    cached object; (b) a different geometry is a different key;
+    (c) an untransformed-tag-less frame (any select/filter downstream
+    of load_table) BYPASSES the cache entirely — and still computes
+    the same rows."""
+    import nemscraper_spark.queries.training_data as td
+    from nemscraper_spark.queries.common import fan_out, load_table
+
+    d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
+    app = spark.sparkContext.applicationId
+    keys = [
+        (app, str(sf_dir_oracle), 8, 2),
+        (app, str(sf_dir_oracle), 16, 4),
+    ]
+    saved = {k: td._COUNTED_CACHE.pop(k, None) for k in keys}
+    try:
+        a1 = td.lsh_counted_pairs_md5(d, 8, 2)
+        a2 = td.lsh_counted_pairs_md5(d, 8, 2)
+        assert a1 is a2  # cache hit on (session, sf_dir, geometry)
+        b = td.lsh_counted_pairs_md5(d, 16, 4)
+        assert b is not a1  # geometry is part of the key
+        assert keys[0] in td._COUNTED_CACHE
+        assert keys[1] in td._COUNTED_CACHE
+
+        # tag-less frame: bit-identical projection of the same table,
+        # but the provenance certificate is gone -> bypass, no new key
+        n_keys = len(td._COUNTED_CACHE)
+        d2 = d.select("doc_id", "text")
+        assert getattr(d2, "_sg_table_tag", None) is None
+        c1 = td.lsh_counted_pairs_md5(d2, 8, 2)
+        c2 = td.lsh_counted_pairs_md5(d2, 8, 2)
+        assert c1 is not c2
+        assert len(td._COUNTED_CACHE) == n_keys
+        assert sorted(map(tuple, c1.collect())) == sorted(
+            map(tuple, a1.collect())
+        )
+    finally:
+        for k in keys:
+            hit = td._COUNTED_CACHE.pop(k, None)
+            if hit is not None:
+                hit.unpersist()
+            if saved[k] is not None:
+                td._COUNTED_CACHE[k] = saved[k]
+
+
+def test_xxhash_verify_matches_collectset_reference(spark, sf_dir_oracle):
+    """The xxhash library-default pipeline's round-9 count-form verify
+    must be BIT-IDENTICAL to its retired collect_set+array_intersect
+    form (the md5 twin has the same pin in
+    test_verify_matches_collectset_reference)."""
+    from pyspark.sql import functions as F
+
+    from nemscraper_spark.queries.common import fan_out, load_table
+    from nemscraper_spark.queries.training_data import lsh_verified_pairs
+
+    def collectset_reference(d, threshold):
+        n_perm, band_size = 16, 4
+        sh = (
+            d.withColumn("w", F.split("text", " "))
+            .filter(F.size("w") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "array_distinct(transform(sequence(0, size(w) - 3),"
+                        " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                    )
+                ).alias("shingle"),
+            )
+        )
+        mins = sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+                for i in range(n_perm)
+            ]
+        )
+        bands = mins.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col(f"h{b * band_size + j}")
+                                    for j in range(band_size)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_perm // band_size)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+        la = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        lb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        cand = (
+            la.join(lb, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = (
+            sh.join(cand_docs, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set(F.xxhash64("shingle")).alias("ss"))
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")
+        )
+        n_common = F.size(F.array_intersect("sa", "sb"))
+        jac = n_common.cast("double") / (
+            F.size("sa") + F.size("sb") - n_common
+        )
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+        )
+
+    d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
+    ref = sorted(map(tuple, collectset_reference(d, 0.2).collect()))
+    got = sorted(map(tuple, lsh_verified_pairs(d, 0.2).collect()))
+    assert ref == got, (len(ref), len(got))
+    assert len(ref) > 0, "degenerate corpus: no verified pairs"
