@@ -815,6 +815,17 @@ def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
     if key is not None:
         from pyspark import StorageLevel
 
+        # Cached-plan materialization bypasses AQE partition coalescing
+        # unless this conf is on (Spark default false): without it the
+        # tiny counted frame persists at the raw shuffle-partition
+        # count and every consumer then pays per-task overhead on
+        # mostly-empty partitions (measured +0.7 s steady-state on
+        # dup_graph_core_peel's iterative rounds). With it, AQE sizes
+        # the cached output adaptively — scale-correct at any corpus.
+        d.sparkSession.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         _COUNTED_CACHE[key] = out
     return out
