@@ -1061,7 +1061,7 @@ def ks_drift_bucketed(spark, sf_dir):
     """Two-sample KS drift per source over FIXED-WIDTH VALUE BUCKETS —
     the domain-bounded form of ks_drift_by_source for continuous or
     unbounded columns.  The CDFs are evaluated on the bucket lattice
-    (width {_KS_BUCKET_WIDTH} chars here), so the global cumulative
+    (width 64 chars here — _KS_BUCKET_WIDTH), so the global cumulative
     window's input is capped at domain/width rows BY CONSTRUCTION —
     never row count — which removes the only centralization point the
     raw-value query carries at 100 TB (its grid is the distinct-value

@@ -52,11 +52,39 @@ def _shingles(spark, sf_dir):
     return _shingle_frame(d)
 
 
+# Exact-trunk memoization (round-9 verdict, r10 queue item a): the
+# near-dup edge set is identical for both consumers in a session
+# (dedup_cluster_components, dedup_keep_canonical — the #1 and #4
+# heaviest suite entries, each rebuilding the full
+# explode→collapse→inverted-index-join trunk), and like the
+# counted-pairs trunk its OUTPUT is tiny (one row per surviving edge),
+# so it is built once per (applicationId, sf_dir) and persisted via
+# the same conf-scoped adaptive pattern (_persist_trunk_adaptive).
+# Provenance is by construction — _dup_edges loads the table itself —
+# and the key inherits _COUNTED_CACHE's corpus-immutability
+# assumption (sf_dir parquet immutable for the application lifetime;
+# clear_dup_edges_cache() is the rewrite-boundary hook).
+_DUP_EDGES_CACHE: dict[tuple[str, str], object] = {}
+
+
+def clear_dup_edges_cache() -> None:
+    """Unpersist and drop the memoized exact near-dup edge trunks —
+    for sessions that rewrite their corpus files in place, and for
+    test teardown (companion of training_data.clear_counted_cache)."""
+    while _DUP_EDGES_CACHE:
+        _, frame = _DUP_EDGES_CACHE.popitem()
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def _dup_edges(spark, sf_dir):
     """Connectivity-equivalent near-dup edge set: exact-duplicate
     collapse first, word-3-gram Jaccard >= 0.5 pairs (inverted-index
     equi-join, as ngram_jaccard_pairs) over the REPRESENTATIVES only,
-    plus rep->member star edges for the collapsed docs.
+    plus rep->member star edges for the collapsed docs.  Built once
+    per (session, sf_dir) and persisted (see _DUP_EDGES_CACHE).
 
     The exact-collapse step is what keeps this linear: identical docs
     (boilerplate repeated millions of times in a crawl) share every
@@ -72,6 +100,10 @@ def _dup_edges(spark, sf_dir):
     collision could perturb a count, but at ~2^18 distinct shingles the
     any-collision probability is ~1e-9 — far below the float-
     determinism tolerances everywhere else."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _DUP_EDGES_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = fan_out(load_table(spark, sf_dir, "documents"))
     mapping = (
         d.select("doc_id", F.xxhash64("text").alias("th"))
@@ -107,7 +139,11 @@ def _dup_edges(spark, sf_dir):
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b")
     )
-    return near.unionByName(star)
+    from nemscraper_spark.queries.training_data import _persist_trunk_adaptive
+
+    out = _persist_trunk_adaptive(near.unionByName(star))
+    _DUP_EDGES_CACHE[key] = out
+    return out
 
 
 # recursive-CTE transitive closure over Jaccard>=0.5 3-gram edges,
@@ -239,8 +275,22 @@ def _dedup_groups_md5(spark, sf_dir, n_perm: int, band_size: int):
         F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    # Derived provenance tag: the representatives slice is a pure
+    # deterministic function of the documents table (min-doc_id per
+    # md5(text) group — no randomness, no session state), so it may
+    # carry its own cache certificate.  lsh_verified_pairs_md5's
+    # counted-pairs trunk then persists per (session, sf_dir,
+    # "documents#md5reps", geometry) and is shared by every
+    # dedup-groups consumer in the session instead of being rebuilt
+    # per query (round-9 verdict, r10 queue item b).  The tag name is
+    # admitted in training_data._COUNTED_TAGS; the shingle cache
+    # matches "documents" exactly, so this tag never pollutes it.
+    reps_docs = d.join(reps, "doc_id")
+    tag = getattr(d, "_sg_table_tag", None)
+    if tag is not None:
+        reps_docs._sg_table_tag = (tag[0], tag[1] + "#md5reps")
     near = lsh_verified_pairs_md5(
-        d.join(reps, "doc_id"), threshold=0.5, n_perm=n_perm, band_size=band_size
+        reps_docs, threshold=0.5, n_perm=n_perm, band_size=band_size
     ).select("doc_a", "doc_b")
     comp = connected_components(near.unionByName(star), "doc_a", "doc_b")
     w = Window.partitionBy("component")

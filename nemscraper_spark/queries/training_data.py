@@ -759,10 +759,82 @@ def _md5_band_candidates(sh, n_perm: int, band_size: int):
 # candidate pair), so the persist barrier is near-free and each reuse
 # saves the whole explode→min-agg→bucket-join→count-join trunk — the
 # same trade that cut the ANN family ~65% (_GRID_CACHE).  Keyed by
-# the load_table provenance tag; a transformed frame (e.g. the
-# dedup-groups representatives slice) carries no tag and bypasses the
-# cache rather than ever serving a mismatched frame.
-_COUNTED_CACHE: dict[tuple[str, str, int, int], object] = {}
+# the provenance tag — either load_table's raw "documents" tag or a
+# DERIVED tag a builder attaches to a slice it can prove is a pure
+# deterministic function of the table (the dedup-groups md5-collapse
+# representatives carry "documents#md5reps" — see
+# corpus_ops._dedup_groups_md5); any other transformed frame carries
+# no tag and bypasses the cache rather than ever serving a mismatched
+# frame.
+#
+# CORPUS-IMMUTABILITY ASSUMPTION (round-9 ADVICE): the key carries no
+# file footprint, so the cache is only correct while the parquet
+# files under sf_dir are immutable for the lifetime of the Spark
+# application.  That is the driver-testdata contract (TESTDATA.md:
+# tables are generated once, read-only), and it is the same
+# assumption every persisted/cached Spark frame already makes about
+# its source files.  A pipeline that rewrites its corpus in-session
+# must call clear_counted_cache() at the rewrite boundary.  Entries
+# are pinned (persisted MEMORY_AND_DISK) for the session lifetime
+# unless that hook runs — bounded: one tiny candidate-pair frame per
+# (corpus, geometry) actually queried.
+_COUNTED_CACHE: dict[tuple[str, str, str, int, int], object] = {}
+
+# Tag names lsh_counted_pairs_md5 accepts as cache-key provenance:
+# the raw table, plus slices a builder certifies as deterministic
+# functions of it (frozenset => participates in fingerprints, so
+# admitting a new tag is a behavior change that invalidates the
+# family, as it must).
+_COUNTED_TAGS = frozenset({"documents", "documents#md5reps"})
+
+
+def clear_counted_cache() -> None:
+    """Unpersist and drop every memoized counted-pairs trunk (and the
+    opt-in shingle-family frames).  For sessions that rewrite their
+    corpus files in place — the cache assumes sf_dir immutability (see
+    _COUNTED_CACHE) — and for test teardown."""
+    for cache in (_COUNTED_CACHE, _SHINGLE_CACHE, _BANDS_CACHE):
+        while cache:
+            _, frame = cache.popitem()
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+
+
+def _persist_trunk_adaptive(out):
+    """Persist a tiny trunk-output frame MEMORY_AND_DISK with AQE
+    allowed to size the cached plan, restoring the session conf
+    afterwards.  Cached-plan compilation bypasses AQE partition
+    coalescing unless spark.sql.optimizer.
+    canChangeCachedPlanOutputPartitioning is on (Spark default
+    false): without it the frame persists at the raw
+    shuffle-partition count and every consumer pays per-task overhead
+    on mostly-empty partitions (measured +0.7 s steady-state on
+    dup_graph_core_peel's iterative rounds).  The conf is read when
+    the cache entry is registered/compiled, so it is set around
+    persist() + an eager materialization and then restored — the
+    round-9 ADVICE fix for the old set-and-forget, which silently
+    left the session-global conf flipped for every later persist in
+    the session.  The eager count() moves the trunk build from the
+    first consumer into the builder (same total work, one extra tiny
+    job) and guarantees the cached data is laid out while the conf
+    is in force."""
+    from pyspark import StorageLevel
+
+    conf = out.sparkSession.conf
+    name = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prev = conf.get(name, None)
+    conf.set(name, "true")
+    try:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+    finally:
+        if prev is None:
+            conf.unset(name)
+        else:
+            conf.set(name, prev)
+    return out
 
 
 def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
@@ -784,14 +856,17 @@ def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
     collision means equal min-md5 within the band, so the pair shares
     its argmin shingle and n_common >= 1 always.
 
-    Memoized + persisted per (session, sf_dir, geometry) when ``d``
-    is the untransformed documents table (see _COUNTED_CACHE)."""
+    Memoized + persisted per (session, sf_dir, tagged-slice,
+    geometry) when ``d`` carries a certified provenance tag — the raw
+    documents table or the dedup-groups md5-collapse representatives
+    slice (see _COUNTED_CACHE / _COUNTED_TAGS)."""
     tag = getattr(d, "_sg_table_tag", None)
     key = None
-    if tag is not None and tag[1] == "documents":
+    if tag is not None and tag[1] in _COUNTED_TAGS:
         key = (
             d.sparkSession.sparkContext.applicationId,
             tag[0],
+            tag[1],
             n_perm,
             band_size,
         )
@@ -813,20 +888,7 @@ def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     out = inter.join(ca, "doc_a").join(cb, "doc_b")
     if key is not None:
-        from pyspark import StorageLevel
-
-        # Cached-plan materialization bypasses AQE partition coalescing
-        # unless this conf is on (Spark default false): without it the
-        # tiny counted frame persists at the raw shuffle-partition
-        # count and every consumer then pays per-task overhead on
-        # mostly-empty partitions (measured +0.7 s steady-state on
-        # dup_graph_core_peel's iterative rounds). With it, AQE sizes
-        # the cached output adaptively — scale-correct at any corpus.
-        d.sparkSession.conf.set(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = _persist_trunk_adaptive(out)
         _COUNTED_CACHE[key] = out
     return out
 

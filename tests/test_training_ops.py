@@ -384,8 +384,8 @@ def test_counted_pairs_cache_provenance(spark, sf_dir_oracle):
     d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
     app = spark.sparkContext.applicationId
     keys = [
-        (app, str(sf_dir_oracle), 8, 2),
-        (app, str(sf_dir_oracle), 16, 4),
+        (app, str(sf_dir_oracle), "documents", 8, 2),
+        (app, str(sf_dir_oracle), "documents", 16, 4),
     ]
     saved = {k: td._COUNTED_CACHE.pop(k, None) for k in keys}
     try:
@@ -508,3 +508,106 @@ def test_xxhash_verify_matches_collectset_reference(spark, sf_dir_oracle):
     got = sorted(map(tuple, lsh_verified_pairs(d, 0.2).collect()))
     assert ref == got, (len(ref), len(got))
     assert len(ref) > 0, "degenerate corpus: no verified pairs"
+
+
+def test_persist_trunk_adaptive_restores_session_conf(spark, sf_dir):
+    """The round-9 ADVICE fix: building a cached trunk must not leave
+    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning flipped
+    session-globally — the conf is set around persist+materialize and
+    restored to exactly its prior state (value, or unset)."""
+    import nemscraper_spark.queries.training_data as td
+    from pyspark.sql import functions as F
+
+    name = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prev = spark.conf.get(name, None)
+    try:
+        # case 1: conf previously unset -> unset again afterwards
+        spark.conf.unset(name)
+        small = spark.range(10).groupBy((F.col("id") % 3).alias("k")).count()
+        out = td._persist_trunk_adaptive(small)
+        assert out.count() == 3
+        assert spark.conf.get(name, None) is None
+        out.unpersist()
+        # case 2: conf previously pinned false -> still false afterwards
+        spark.conf.set(name, "false")
+        out2 = td._persist_trunk_adaptive(small.withColumn("z", F.lit(1)))
+        assert out2.count() == 3
+        assert spark.conf.get(name, None) == "false"
+        out2.unpersist()
+    finally:
+        if prev is None:
+            spark.conf.unset(name)
+        else:
+            spark.conf.set(name, prev)
+
+
+def test_dedup_groups_reps_slice_uses_derived_tag_cache(spark, sf_dir_oracle):
+    """r10 queue item b: the dedup-groups md5-collapse representatives
+    slice carries the derived "documents#md5reps" provenance tag, so
+    its counted-pairs trunk persists under its own key — distinct from
+    the raw-table key at the same geometry — and a repeat build at the
+    same geometry is a cache hit, while rows are unchanged vs the
+    pre-tag (bypass) behavior."""
+    import nemscraper_spark.queries.training_data as td
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from nemscraper_spark.operators.components import connected_components
+    from nemscraper_spark.queries.common import fan_out, load_table
+    from nemscraper_spark.queries.corpus_ops import _dedup_groups_md5
+
+    app = spark.sparkContext.applicationId
+    rkey = (app, str(sf_dir_oracle), "documents#md5reps", 8, 2)
+    saved = td._COUNTED_CACHE.pop(rkey, None)
+    try:
+        got = sorted(
+            map(tuple, _dedup_groups_md5(spark, sf_dir_oracle, 8, 2).collect())
+        )
+        assert rkey in td._COUNTED_CACHE  # trunk registered under derived tag
+        trunk = td._COUNTED_CACHE[rkey]
+        # rebuild: same session + sf_dir + geometry -> identical object
+        _dedup_groups_md5(spark, sf_dir_oracle, 8, 2)
+        assert td._COUNTED_CACHE[rkey] is trunk
+        # the derived tag never collides with the raw-table key
+        assert (app, str(sf_dir_oracle), "documents", 8, 2) != rkey
+        # rows match the bypass path (tag stripped -> cache-less build)
+        d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
+        mapping = (
+            d.select("doc_id", F.md5("text").alias("th"))
+            .withColumn(
+                "rep", F.min("doc_id").over(W.partitionBy("th"))
+            )
+            .select("doc_id", "rep")
+        )
+        reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+        bypass = td.lsh_verified_pairs_md5(
+            d.join(reps, "doc_id").select("doc_id", "text"),
+            threshold=0.5,
+            n_perm=8,
+            band_size=2,
+        ).select("doc_a", "doc_b")
+        star = mapping.filter(F.col("doc_id") != F.col("rep")).select(
+            F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        comp = connected_components(
+            bypass.unionByName(star), "doc_a", "doc_b"
+        )
+        ref = sorted(
+            map(
+                tuple,
+                comp.select(
+                    F.col("node").alias("doc_id"),
+                    "component",
+                    F.count("*")
+                    .over(W.partitionBy("component"))
+                    .alias("n_members"),
+                ).collect(),
+            )
+        )
+        assert got == ref
+    finally:
+        hit = td._COUNTED_CACHE.pop(rkey, None)
+        if hit is not None and saved is None:
+            hit.unpersist()
+        if saved is not None:
+            td._COUNTED_CACHE[rkey] = saved
