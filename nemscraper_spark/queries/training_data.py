@@ -188,6 +188,32 @@ def _ppjoin_prefix_frame(sh):
     )
 
 
+# PPJoin candidate-trunk memoization (round-10, same pattern as
+# _COUNTED_CACHE): the prefix+positional candidate set is shared by
+# jaccard_ppjoin_pairs and jaccard_ppjoin_report (which consumes it
+# twice — once directly, once through its call into the pairs query),
+# and its OUTPUT is tiny (the survivor candidate list), while its
+# build pays the df join + per-doc rank window over the full shingle
+# frame.  Built once per (applicationId, sf_dir) and persisted;
+# provenance by construction (the builder loads the table itself);
+# corpus-immutability contract as documented at _COUNTED_CACHE, with
+# clear_counted_cache() clearing this registry too.
+_PPJOIN_CAND_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _ppjoin_cand_cached(spark, sf_dir):
+    """(doc_a, doc_b, na, nb) PPJoin survivor candidates, memoized +
+    persisted per (session, sf_dir) — see _PPJOIN_CAND_CACHE."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _PPJOIN_CAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cand = _ppjoin_candidates(_ppjoin_prefix_frame(_ppjoin_hashed(spark, sf_dir)))
+    out = _persist_trunk_adaptive(cand)
+    _PPJOIN_CAND_CACHE[key] = out
+    return out
+
+
 def _ppjoin_candidates(prefix):
     """(doc_a, doc_b, na, nb) pairs colliding within prefixes and
     surviving BOTH PPJoin filters:
@@ -291,7 +317,7 @@ def jaccard_ppjoin_pairs(spark, sf_dir):
     hash-pins all three counts per corpus so that decision is
     data-driven, not asserted."""
     sh = _ppjoin_hashed(spark, sf_dir)
-    cand = _ppjoin_candidates(_ppjoin_prefix_frame(sh))
+    cand = _ppjoin_cand_cached(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
@@ -369,7 +395,7 @@ def jaccard_ppjoin_report(spark, sf_dir):
     set to exactly the answer.  This is the number a 100 TB dedup run
     budgets its verify stage with."""
     sh = _ppjoin_hashed(spark, sf_dir)
-    cand = _ppjoin_candidates(_ppjoin_prefix_frame(sh))
+    cand = _ppjoin_cand_cached(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     colliding = (
@@ -793,7 +819,12 @@ def clear_counted_cache() -> None:
     opt-in shingle-family frames).  For sessions that rewrite their
     corpus files in place — the cache assumes sf_dir immutability (see
     _COUNTED_CACHE) — and for test teardown."""
-    for cache in (_COUNTED_CACHE, _SHINGLE_CACHE, _BANDS_CACHE):
+    for cache in (
+        _COUNTED_CACHE,
+        _PPJOIN_CAND_CACHE,
+        _SHINGLE_CACHE,
+        _BANDS_CACHE,
+    ):
         while cache:
             _, frame = cache.popitem()
             try:
