@@ -203,8 +203,16 @@ _PPJOIN_CAND_CACHE: dict[tuple[str, str], object] = {}
 
 def _ppjoin_cand_cached(spark, sf_dir):
     """(doc_a, doc_b, na, nb) PPJoin survivor candidates, memoized +
-    persisted per (session, sf_dir) — see _PPJOIN_CAND_CACHE."""
-    key = (spark.sparkContext.applicationId, str(sf_dir))
+    persisted per (session, sf_dir, threshold) — see
+    _PPJOIN_CAND_CACHE.  The threshold rationals join the key so a
+    caller (or test) that rebinds _PPJOIN_TP/_PPJOIN_TQ can never be
+    served a trunk built under a different threshold."""
+    key = (
+        spark.sparkContext.applicationId,
+        str(sf_dir),
+        _PPJOIN_TP,
+        _PPJOIN_TQ,
+    )
     hit = _PPJOIN_CAND_CACHE.get(key)
     if hit is not None:
         return hit

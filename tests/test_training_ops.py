@@ -611,3 +611,41 @@ def test_dedup_groups_reps_slice_uses_derived_tag_cache(spark, sf_dir_oracle):
             hit.unpersist()
         if saved is not None:
             td._COUNTED_CACHE[rkey] = saved
+
+
+def test_clear_hooks_empty_every_trunk_cache(spark, sf_dir):
+    """The rewrite-boundary hooks must unpersist + empty their
+    registries: clear_counted_cache covers the counted-pairs AND
+    ppjoin-candidate trunks (plus the opt-in shingle/band frames),
+    clear_semantic_pairs_cache the SemDeDup pair trunk — and a
+    post-clear rebuild yields the same rows."""
+    import nemscraper_spark.queries.corpus_extra as ce
+    import nemscraper_spark.queries.training_data as td
+    from nemscraper_spark.queries import REGISTRY
+
+    # populate the ppjoin + semantic trunks for this sf_dir
+    pp_rows = sorted(
+        map(tuple, REGISTRY["jaccard_ppjoin_pairs"].fn(spark, sf_dir).collect())
+    )
+    sem_rows = sorted(
+        map(tuple, REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect())
+    )
+    app = spark.sparkContext.applicationId
+    assert (
+        app, str(sf_dir), td._PPJOIN_TP, td._PPJOIN_TQ
+    ) in td._PPJOIN_CAND_CACHE
+    assert (app, str(sf_dir)) in ce._SEM_PAIRS_CACHE
+
+    td.clear_counted_cache()
+    ce.clear_semantic_pairs_cache()
+    assert not td._PPJOIN_CAND_CACHE
+    assert not td._COUNTED_CACHE
+    assert not ce._SEM_PAIRS_CACHE
+
+    # rebuild after clear: identical rows (the hook never corrupts)
+    assert pp_rows == sorted(
+        map(tuple, REGISTRY["jaccard_ppjoin_pairs"].fn(spark, sf_dir).collect())
+    )
+    assert sem_rows == sorted(
+        map(tuple, REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect())
+    )
