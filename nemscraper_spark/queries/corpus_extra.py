@@ -96,30 +96,22 @@ def semantic_dedup_clusters(spark, sf_dir):
     return semantic_pairs(spark, sf_dir)
 
 
-# SemDeDup trunk memoization (round-10, same pattern as
-# _COUNTED_CACHE / _DUP_EDGES_CACHE): the within-cluster verified
-# pair set is identical for both registered consumers
+# SemDeDup trunk memoization (round-10; round-11: moved into the
+# shared trunk_cache registry): the within-cluster verified pair set
+# is identical for both registered consumers
 # (semantic_dedup_clusters returns it verbatim;
 # semantic_dedup_keep_list closes it into components), and its OUTPUT
 # is tiny (one row per cosine>=0.4 pair), so it is built once per
 # (applicationId, sf_dir) and persisted.  Provenance is by
-# construction — semantic_pairs loads the table itself — and the key
-# inherits the corpus-immutability assumption documented at
-# _COUNTED_CACHE (sf_dir parquet immutable for the application
-# lifetime; clear_semantic_pairs_cache() is the rewrite-boundary
-# hook).
-_SEM_PAIRS_CACHE: dict[tuple[str, str], object] = {}
-
-
+# construction — semantic_pairs loads the table itself;
+# corpus-immutability contract documented ONCE at trunk_cache
+# (clear_trunk_caches() is the rewrite-boundary hook).
 def clear_semantic_pairs_cache() -> None:
-    """Unpersist and drop the memoized SemDeDup pair trunks —
-    companion of training_data.clear_counted_cache."""
-    while _SEM_PAIRS_CACHE:
-        _, frame = _SEM_PAIRS_CACHE.popitem()
-        try:
-            frame.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+    """Back-compat alias for trunk_cache.clear_trunk_caches() — one
+    hook now clears every trunk family (round-10 ADVICE)."""
+    from nemscraper_spark.queries.trunk_cache import clear_trunk_caches
+
+    clear_trunk_caches()
 
 
 def semantic_pairs(spark, sf_dir):
@@ -127,16 +119,22 @@ def semantic_pairs(spark, sf_dir):
     max-dot cluster assignment (Arrow GEMM) -> within-cluster pairs
     with exact-int cosine >= 0.4.  Shared by semantic_dedup_clusters
     and semantic_dedup_keep_list; built once per (session, sf_dir)
-    and persisted (see _SEM_PAIRS_CACHE)."""
+    and persisted (see trunk_cache)."""
+    from nemscraper_spark.queries.trunk_cache import norm_dir, trunk
+
+    return trunk(
+        "sem_pairs",
+        (spark.sparkContext.applicationId, norm_dir(sf_dir)),
+        lambda: _semantic_pairs_build(spark, sf_dir),
+    )
+
+
+def _semantic_pairs_build(spark, sf_dir):
+    """The SemDeDup trunk plan itself — see semantic_pairs."""
     import math
     import os
 
     from nemscraper_spark.sources.inspect import footer_row_count
-
-    key = (spark.sparkContext.applicationId, str(sf_dir))
-    hit = _SEM_PAIRS_CACHE.get(key)
-    if hit is not None:
-        return hit
 
     n_docs = footer_row_count(os.path.join(sf_dir, "embeddings.parquet"))
     k = max(8, math.ceil(n_docs / _SEMDEDUP_TARGET))
@@ -188,14 +186,9 @@ def semantic_pairs(spark, sf_dir):
         ),
         9,
     )
-    out = pairs.select(
+    return pairs.select(
         "cid", "keep_id", "drop_id", cosine.alias("cosine")
     ).filter(F.col("cosine") >= 0.4)
-    from nemscraper_spark.queries.training_data import _persist_trunk_adaptive
-
-    out = _persist_trunk_adaptive(out)
-    _SEM_PAIRS_CACHE[key] = out
-    return out
 
 
 _SEMKEEP_ORACLE = f"""

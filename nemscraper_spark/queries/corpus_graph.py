@@ -95,15 +95,15 @@ def dup_triangle_density(spark, sf_dir):
     # computed once. (NOT localCheckpoint: the RDD materialization
     # path bypasses AQE — measured 5.8 s vs 2.4 s for this pipeline.)
     # n_edges falls out of the degree sum (Σd = 2|E|), saving one
-    # more branch. The persist goes through _persist_trunk_adaptive so
+    # more branch. The persist goes through persist_trunk_adaptive so
     # AQE sizes the cached plan (measured 4.1 s vs 2.0 s warm at 200
     # raw partitions in a foreign driver session) WITHOUT leaving the
     # canChangeCachedPlanOutputPartitioning conf flipped
     # session-globally — the same round-9 ADVICE fix as the
     # counted-pairs trunk.
-    from nemscraper_spark.queries.training_data import _persist_trunk_adaptive
+    from nemscraper_spark.queries.trunk_cache import persist_trunk_adaptive
 
-    edges = _persist_trunk_adaptive(
+    edges = persist_trunk_adaptive(
         lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
         .select("doc_a", "doc_b")
     )

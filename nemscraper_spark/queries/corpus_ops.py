@@ -52,31 +52,21 @@ def _shingles(spark, sf_dir):
     return _shingle_frame(d)
 
 
-# Exact-trunk memoization (round-9 verdict, r10 queue item a): the
-# near-dup edge set is identical for both consumers in a session
-# (dedup_cluster_components, dedup_keep_canonical — the #1 and #4
-# heaviest suite entries, each rebuilding the full
-# explode→collapse→inverted-index-join trunk), and like the
-# counted-pairs trunk its OUTPUT is tiny (one row per surviving edge),
-# so it is built once per (applicationId, sf_dir) and persisted via
-# the same conf-scoped adaptive pattern (_persist_trunk_adaptive).
-# Provenance is by construction — _dup_edges loads the table itself —
-# and the key inherits _COUNTED_CACHE's corpus-immutability
-# assumption (sf_dir parquet immutable for the application lifetime;
-# clear_dup_edges_cache() is the rewrite-boundary hook).
-_DUP_EDGES_CACHE: dict[tuple[str, str], object] = {}
-
-
+# Exact-trunk memoization (round-9 verdict; round-11: moved into the
+# shared trunk_cache registry): the near-dup edge set is identical
+# for both consumers in a session (dedup_cluster_components,
+# dedup_keep_canonical — the #1 and #4 heaviest suite entries, each
+# rebuilding the full explode→collapse→inverted-index-join trunk),
+# and like the counted-pairs trunk its OUTPUT is tiny (one row per
+# surviving edge).  Provenance is by construction — _dup_edges loads
+# the table itself; corpus-immutability contract documented ONCE at
+# trunk_cache (clear_trunk_caches() is the rewrite-boundary hook).
 def clear_dup_edges_cache() -> None:
-    """Unpersist and drop the memoized exact near-dup edge trunks —
-    for sessions that rewrite their corpus files in place, and for
-    test teardown (companion of training_data.clear_counted_cache)."""
-    while _DUP_EDGES_CACHE:
-        _, frame = _DUP_EDGES_CACHE.popitem()
-        try:
-            frame.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+    """Back-compat alias for trunk_cache.clear_trunk_caches() — one
+    hook now clears every trunk family (round-10 ADVICE)."""
+    from nemscraper_spark.queries.trunk_cache import clear_trunk_caches
+
+    clear_trunk_caches()
 
 
 def _dup_edges(spark, sf_dir):
@@ -84,7 +74,7 @@ def _dup_edges(spark, sf_dir):
     collapse first, word-3-gram Jaccard >= 0.5 pairs (inverted-index
     equi-join, as ngram_jaccard_pairs) over the REPRESENTATIVES only,
     plus rep->member star edges for the collapsed docs.  Built once
-    per (session, sf_dir) and persisted (see _DUP_EDGES_CACHE).
+    per (session, sf_dir) and persisted (see trunk_cache).
 
     The exact-collapse step is what keeps this linear: identical docs
     (boilerplate repeated millions of times in a crawl) share every
@@ -100,50 +90,52 @@ def _dup_edges(spark, sf_dir):
     collision could perturb a count, but at ~2^18 distinct shingles the
     any-collision probability is ~1e-9 — far below the float-
     determinism tolerances everywhere else."""
-    key = (spark.sparkContext.applicationId, str(sf_dir))
-    hit = _DUP_EDGES_CACHE.get(key)
-    if hit is not None:
-        return hit
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    mapping = (
-        d.select("doc_id", F.xxhash64("text").alias("th"))
-        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("th")))
-        .select("doc_id", "rep")
-    )
-    star = mapping.filter(F.col("doc_id") != F.col("rep")).select(
-        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
-    reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    sh = (
-        _shingles(spark, sf_dir)
-        .join(reps, "doc_id")
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    near = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    from nemscraper_spark.queries.training_data import _persist_trunk_adaptive
 
-    out = _persist_trunk_adaptive(near.unionByName(star))
-    _DUP_EDGES_CACHE[key] = out
-    return out
+    def build():
+        d = fan_out(load_table(spark, sf_dir, "documents"))
+        mapping = (
+            d.select("doc_id", F.xxhash64("text").alias("th"))
+            .withColumn("rep", F.min("doc_id").over(Window.partitionBy("th")))
+            .select("doc_id", "rep")
+        )
+        star = mapping.filter(F.col("doc_id") != F.col("rep")).select(
+            F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        reps = mapping.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+        sh = (
+            _shingles(spark, sf_dir)
+            .join(reps, "doc_id")
+            .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        )
+        cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        jac = F.col("n_common").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_common")
+        )
+        near = (
+            inter.join(F.broadcast(ca), "doc_a")
+            .join(F.broadcast(cb), "doc_b")
+            .filter(jac >= 0.5)
+            .select("doc_a", "doc_b")
+        )
+        return near.unionByName(star)
+
+    from nemscraper_spark.queries.trunk_cache import norm_dir, trunk
+
+    return trunk(
+        "dup_edges",
+        (spark.sparkContext.applicationId, norm_dir(sf_dir)),
+        build,
+    )
 
 
 # recursive-CTE transitive closure over Jaccard>=0.5 3-gram edges,

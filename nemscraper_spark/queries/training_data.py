@@ -188,38 +188,35 @@ def _ppjoin_prefix_frame(sh):
     )
 
 
-# PPJoin candidate-trunk memoization (round-10, same pattern as
-# _COUNTED_CACHE): the prefix+positional candidate set is shared by
-# jaccard_ppjoin_pairs and jaccard_ppjoin_report (which consumes it
-# twice — once directly, once through its call into the pairs query),
-# and its OUTPUT is tiny (the survivor candidate list), while its
-# build pays the df join + per-doc rank window over the full shingle
-# frame.  Built once per (applicationId, sf_dir) and persisted;
-# provenance by construction (the builder loads the table itself);
-# corpus-immutability contract as documented at _COUNTED_CACHE, with
-# clear_counted_cache() clearing this registry too.
-_PPJOIN_CAND_CACHE: dict[tuple[str, str], object] = {}
-
-
+# PPJoin candidate trunk (round-10; round-11: moved into the shared
+# trunk_cache registry): the prefix+positional candidate set is
+# shared by jaccard_ppjoin_pairs and jaccard_ppjoin_report (which
+# consumes it twice — once directly, once through its call into the
+# pairs query), and its OUTPUT is tiny (the survivor candidate
+# list), while its build pays the df join + per-doc rank window over
+# the full shingle frame.  Provenance by construction (the builder
+# loads the table itself); corpus-immutability contract documented
+# ONCE at trunk_cache, with clear_trunk_caches() the rewrite hook.
 def _ppjoin_cand_cached(spark, sf_dir):
     """(doc_a, doc_b, na, nb) PPJoin survivor candidates, memoized +
-    persisted per (session, sf_dir, threshold) — see
-    _PPJOIN_CAND_CACHE.  The threshold rationals join the key so a
-    caller (or test) that rebinds _PPJOIN_TP/_PPJOIN_TQ can never be
-    served a trunk built under a different threshold."""
-    key = (
-        spark.sparkContext.applicationId,
-        str(sf_dir),
-        _PPJOIN_TP,
-        _PPJOIN_TQ,
+    persisted per (session, sf_dir, threshold) — see trunk_cache.
+    The threshold rationals join the key so a caller (or test) that
+    rebinds _PPJOIN_TP/_PPJOIN_TQ can never be served a trunk built
+    under a different threshold."""
+    from nemscraper_spark.queries.trunk_cache import norm_dir, trunk
+
+    return trunk(
+        "ppjoin_cand",
+        (
+            spark.sparkContext.applicationId,
+            norm_dir(sf_dir),
+            _PPJOIN_TP,
+            _PPJOIN_TQ,
+        ),
+        lambda: _ppjoin_candidates(
+            _ppjoin_prefix_frame(_ppjoin_hashed(spark, sf_dir))
+        ),
     )
-    hit = _PPJOIN_CAND_CACHE.get(key)
-    if hit is not None:
-        return hit
-    cand = _ppjoin_candidates(_ppjoin_prefix_frame(_ppjoin_hashed(spark, sf_dir)))
-    out = _persist_trunk_adaptive(cand)
-    _PPJOIN_CAND_CACHE[key] = out
-    return out
 
 
 def _ppjoin_candidates(prefix):
@@ -781,9 +778,10 @@ def _md5_band_candidates(sh, n_perm: int, band_size: int):
     )
 
 
-# Counted-pairs trunk memoization: the (doc_a, doc_b, n_common, na,
-# nb) frame at a given band geometry is identical for every consumer
-# in a session — at (16, 4) four registered queries rebuild it
+# Counted-pairs trunk memoization (round-11: moved into the shared
+# trunk_cache registry): the (doc_a, doc_b, n_common, na, nb) frame
+# at a given band geometry is identical for every consumer in a
+# session — at (16, 4) four registered queries rebuild it
 # (minhash_lsh_pairs, dup_triangle_density, dup_graph_core_peel, the
 # band-curve arm) and at (8, 2) three more — so it is built ONCE per
 # (applicationId, sf_dir, geometry) and persisted.  Unlike the
@@ -799,20 +797,8 @@ def _md5_band_candidates(sh, n_perm: int, band_size: int):
 # representatives carry "documents#md5reps" — see
 # corpus_ops._dedup_groups_md5); any other transformed frame carries
 # no tag and bypasses the cache rather than ever serving a mismatched
-# frame.
-#
-# CORPUS-IMMUTABILITY ASSUMPTION (round-9 ADVICE): the key carries no
-# file footprint, so the cache is only correct while the parquet
-# files under sf_dir are immutable for the lifetime of the Spark
-# application.  That is the driver-testdata contract (TESTDATA.md:
-# tables are generated once, read-only), and it is the same
-# assumption every persisted/cached Spark frame already makes about
-# its source files.  A pipeline that rewrites its corpus in-session
-# must call clear_counted_cache() at the rewrite boundary.  Entries
-# are pinned (persisted MEMORY_AND_DISK) for the session lifetime
-# unless that hook runs — bounded: one tiny candidate-pair frame per
-# (corpus, geometry) actually queried.
-_COUNTED_CACHE: dict[tuple[str, str, str, int, int], object] = {}
+# frame.  Corpus-immutability contract documented ONCE at
+# trunk_cache; clear_trunk_caches() is the rewrite-boundary hook.
 
 # Tag names lsh_counted_pairs_md5 accepts as cache-key provenance:
 # the raw table, plus slices a builder certifies as deterministic
@@ -823,57 +809,14 @@ _COUNTED_TAGS = frozenset({"documents", "documents#md5reps"})
 
 
 def clear_counted_cache() -> None:
-    """Unpersist and drop every memoized counted-pairs trunk (and the
-    opt-in shingle-family frames).  For sessions that rewrite their
-    corpus files in place — the cache assumes sf_dir immutability (see
-    _COUNTED_CACHE) — and for test teardown."""
-    for cache in (
-        _COUNTED_CACHE,
-        _PPJOIN_CAND_CACHE,
-        _SHINGLE_CACHE,
-        _BANDS_CACHE,
-    ):
-        while cache:
-            _, frame = cache.popitem()
-            try:
-                frame.unpersist()
-            except Exception:
-                pass  # session already stopped — nothing to release
+    """Back-compat alias for trunk_cache.clear_trunk_caches(): clears
+    EVERY trunk family (counted-pairs, ppjoin candidates, near-dup
+    edges, SemDeDup pairs) plus the opt-in shingle-family frames —
+    the round-10 ADVICE fix for the per-module hooks that each left
+    the other modules' caches alive."""
+    from nemscraper_spark.queries.trunk_cache import clear_trunk_caches
 
-
-def _persist_trunk_adaptive(out):
-    """Persist a tiny trunk-output frame MEMORY_AND_DISK with AQE
-    allowed to size the cached plan, restoring the session conf
-    afterwards.  Cached-plan compilation bypasses AQE partition
-    coalescing unless spark.sql.optimizer.
-    canChangeCachedPlanOutputPartitioning is on (Spark default
-    false): without it the frame persists at the raw
-    shuffle-partition count and every consumer pays per-task overhead
-    on mostly-empty partitions (measured +0.7 s steady-state on
-    dup_graph_core_peel's iterative rounds).  The conf is read when
-    the cache entry is registered/compiled, so it is set around
-    persist() + an eager materialization and then restored — the
-    round-9 ADVICE fix for the old set-and-forget, which silently
-    left the session-global conf flipped for every later persist in
-    the session.  The eager count() moves the trunk build from the
-    first consumer into the builder (same total work, one extra tiny
-    job) and guarantees the cached data is laid out while the conf
-    is in force."""
-    from pyspark import StorageLevel
-
-    conf = out.sparkSession.conf
-    name = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    prev = conf.get(name, None)
-    conf.set(name, "true")
-    try:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-    finally:
-        if prev is None:
-            conf.unset(name)
-        else:
-            conf.set(name, prev)
-    return out
+    clear_trunk_caches()
 
 
 def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
@@ -898,38 +841,39 @@ def lsh_counted_pairs_md5(d, n_perm: int = 8, band_size: int = 2):
     Memoized + persisted per (session, sf_dir, tagged-slice,
     geometry) when ``d`` carries a certified provenance tag — the raw
     documents table or the dedup-groups md5-collapse representatives
-    slice (see _COUNTED_CACHE / _COUNTED_TAGS)."""
+    slice (see trunk_cache / _COUNTED_TAGS)."""
+    def build():
+        sh = _shingle_frame(d)
+        cand = _md5_band_candidates(sh, n_perm, band_size)
+        cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        return inter.join(ca, "doc_a").join(cb, "doc_b")
+
     tag = getattr(d, "_sg_table_tag", None)
-    key = None
-    if tag is not None and tag[1] in _COUNTED_TAGS:
-        key = (
+    if tag is None or tag[1] not in _COUNTED_TAGS:
+        return build()  # no provenance certificate -> never cache
+    from nemscraper_spark.queries.trunk_cache import norm_dir, trunk
+
+    return trunk(
+        "counted",
+        (
             d.sparkSession.sparkContext.applicationId,
-            tag[0],
+            norm_dir(tag[0]),
             tag[1],
             n_perm,
             band_size,
-        )
-        hit = _COUNTED_CACHE.get(key)
-        if hit is not None:
-            return hit
-    sh = _shingle_frame(d)
-    cand = _md5_band_candidates(sh, n_perm, band_size)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        ),
+        build,
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    out = inter.join(ca, "doc_a").join(cb, "doc_b")
-    if key is not None:
-        out = _persist_trunk_adaptive(out)
-        _COUNTED_CACHE[key] = out
-    return out
 
 
 def lsh_verified_pairs_md5(d, threshold: float, n_perm: int = 8, band_size: int = 2):

@@ -499,35 +499,38 @@ def test_skyline_adversarial_ties_and_chains(spark, tmp_path):
 
 
 def test_dup_edges_trunk_is_memoized_per_session(spark, sf_dir):
-    """r10 queue item a: the exact near-dup edge trunk shared by
-    dedup_cluster_components and dedup_keep_canonical is built once
-    per (session, sf_dir) and persisted; clear_dup_edges_cache drops
-    it, and a rebuild yields the same edge set."""
+    """r10 queue item a (r11: shared registry): the exact near-dup
+    edge trunk shared by dedup_cluster_components and
+    dedup_keep_canonical is built once per (session, sf_dir) and
+    persisted in trunk_cache._TRUNKS under its family key; two
+    spellings of the directory share ONE trunk (norm_dir); dropping
+    the entry and rebuilding yields the same edge set."""
     from nemscraper_spark.queries import corpus_ops as co
+    from nemscraper_spark.queries import trunk_cache as tc
 
     app = spark.sparkContext.applicationId
-    key = (app, str(sf_dir))
-    saved = co._DUP_EDGES_CACHE.pop(key, None)
+    key = ("dup_edges", app, tc.norm_dir(sf_dir))
+    saved = tc._TRUNKS.pop(key, None)
     try:
         e1 = co._dup_edges(spark, sf_dir)
-        assert key in co._DUP_EDGES_CACHE
+        assert key in tc._TRUNKS
         e2 = co._dup_edges(spark, sf_dir)
         assert e1 is e2  # second consumer reuses the persisted trunk
+        # r10 ADVICE: a trailing-slash spelling is the SAME corpus —
+        # no duplicate trunk is built or pinned
+        e2b = co._dup_edges(spark, str(sf_dir) + "/")
+        assert e2b is e1
         rows = sorted(map(tuple, e1.collect()))
         assert rows, "degenerate corpus: no dup edges at sf0.001"
-        # the hook drops + unpersists; a rebuild matches exactly
-        co._DUP_EDGES_CACHE.pop(key)  # keep saved entry semantics simple
+        # drop + unpersist; a rebuild matches exactly
+        tc._TRUNKS.pop(key)
         e1.unpersist()
         e3 = co._dup_edges(spark, sf_dir)
         assert e3 is not e1
         assert sorted(map(tuple, e3.collect())) == rows
-        co._DUP_EDGES_CACHE.pop(key).unpersist()
-        # clear_dup_edges_cache empties the registry
-        e4 = co._dup_edges(spark, sf_dir)
-        assert co._DUP_EDGES_CACHE
-        co.clear_dup_edges_cache()
-        assert not co._DUP_EDGES_CACHE
     finally:
-        co._DUP_EDGES_CACHE.pop(key, None)
+        hit = tc._TRUNKS.pop(key, None)
+        if hit is not None:
+            hit.unpersist()
         if saved is not None:
-            co._DUP_EDGES_CACHE[key] = saved
+            tc._TRUNKS[key] = saved

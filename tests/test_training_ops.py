@@ -379,43 +379,45 @@ def test_counted_pairs_cache_provenance(spark, sf_dir_oracle):
     of load_table) BYPASSES the cache entirely — and still computes
     the same rows."""
     import nemscraper_spark.queries.training_data as td
+    import nemscraper_spark.queries.trunk_cache as tc
     from nemscraper_spark.queries.common import fan_out, load_table
 
     d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
     app = spark.sparkContext.applicationId
+    nd = tc.norm_dir(sf_dir_oracle)
     keys = [
-        (app, str(sf_dir_oracle), "documents", 8, 2),
-        (app, str(sf_dir_oracle), "documents", 16, 4),
+        ("counted", app, nd, "documents", 8, 2),
+        ("counted", app, nd, "documents", 16, 4),
     ]
-    saved = {k: td._COUNTED_CACHE.pop(k, None) for k in keys}
+    saved = {k: tc._TRUNKS.pop(k, None) for k in keys}
     try:
         a1 = td.lsh_counted_pairs_md5(d, 8, 2)
         a2 = td.lsh_counted_pairs_md5(d, 8, 2)
         assert a1 is a2  # cache hit on (session, sf_dir, geometry)
         b = td.lsh_counted_pairs_md5(d, 16, 4)
         assert b is not a1  # geometry is part of the key
-        assert keys[0] in td._COUNTED_CACHE
-        assert keys[1] in td._COUNTED_CACHE
+        assert keys[0] in tc._TRUNKS
+        assert keys[1] in tc._TRUNKS
 
         # tag-less frame: bit-identical projection of the same table,
         # but the provenance certificate is gone -> bypass, no new key
-        n_keys = len(td._COUNTED_CACHE)
+        n_keys = len(tc._TRUNKS)
         d2 = d.select("doc_id", "text")
         assert getattr(d2, "_sg_table_tag", None) is None
         c1 = td.lsh_counted_pairs_md5(d2, 8, 2)
         c2 = td.lsh_counted_pairs_md5(d2, 8, 2)
         assert c1 is not c2
-        assert len(td._COUNTED_CACHE) == n_keys
+        assert len(tc._TRUNKS) == n_keys
         assert sorted(map(tuple, c1.collect())) == sorted(
             map(tuple, a1.collect())
         )
     finally:
         for k in keys:
-            hit = td._COUNTED_CACHE.pop(k, None)
+            hit = tc._TRUNKS.pop(k, None)
             if hit is not None:
                 hit.unpersist()
             if saved[k] is not None:
-                td._COUNTED_CACHE[k] = saved[k]
+                tc._TRUNKS[k] = saved[k]
 
 
 def test_xxhash_verify_matches_collectset_reference(spark, sf_dir_oracle):
@@ -515,7 +517,7 @@ def test_persist_trunk_adaptive_restores_session_conf(spark, sf_dir):
     spark.sql.optimizer.canChangeCachedPlanOutputPartitioning flipped
     session-globally — the conf is set around persist+materialize and
     restored to exactly its prior state (value, or unset)."""
-    import nemscraper_spark.queries.training_data as td
+    import nemscraper_spark.queries.trunk_cache as tc
     from pyspark.sql import functions as F
 
     name = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
@@ -524,13 +526,13 @@ def test_persist_trunk_adaptive_restores_session_conf(spark, sf_dir):
         # case 1: conf previously unset -> unset again afterwards
         spark.conf.unset(name)
         small = spark.range(10).groupBy((F.col("id") % 3).alias("k")).count()
-        out = td._persist_trunk_adaptive(small)
+        out = tc.persist_trunk_adaptive(small)
         assert out.count() == 3
         assert spark.conf.get(name, None) is None
         out.unpersist()
         # case 2: conf previously pinned false -> still false afterwards
         spark.conf.set(name, "false")
-        out2 = td._persist_trunk_adaptive(small.withColumn("z", F.lit(1)))
+        out2 = tc.persist_trunk_adaptive(small.withColumn("z", F.lit(1)))
         assert out2.count() == 3
         assert spark.conf.get(name, None) == "false"
         out2.unpersist()
@@ -556,20 +558,22 @@ def test_dedup_groups_reps_slice_uses_derived_tag_cache(spark, sf_dir_oracle):
     from nemscraper_spark.queries.common import fan_out, load_table
     from nemscraper_spark.queries.corpus_ops import _dedup_groups_md5
 
+    import nemscraper_spark.queries.trunk_cache as tc
+
     app = spark.sparkContext.applicationId
-    rkey = (app, str(sf_dir_oracle), "documents#md5reps", 8, 2)
-    saved = td._COUNTED_CACHE.pop(rkey, None)
+    rkey = ("counted", app, tc.norm_dir(sf_dir_oracle), "documents#md5reps", 8, 2)
+    saved = tc._TRUNKS.pop(rkey, None)
     try:
         got = sorted(
             map(tuple, _dedup_groups_md5(spark, sf_dir_oracle, 8, 2).collect())
         )
-        assert rkey in td._COUNTED_CACHE  # trunk registered under derived tag
-        trunk = td._COUNTED_CACHE[rkey]
+        assert rkey in tc._TRUNKS  # trunk registered under derived tag
+        trunk = tc._TRUNKS[rkey]
         # rebuild: same session + sf_dir + geometry -> identical object
         _dedup_groups_md5(spark, sf_dir_oracle, 8, 2)
-        assert td._COUNTED_CACHE[rkey] is trunk
+        assert tc._TRUNKS[rkey] is trunk
         # the derived tag never collides with the raw-table key
-        assert (app, str(sf_dir_oracle), "documents", 8, 2) != rkey
+        assert ("counted", app, tc.norm_dir(sf_dir_oracle), "documents", 8, 2) != rkey
         # rows match the bypass path (tag stripped -> cache-less build)
         d = fan_out(load_table(spark, sf_dir_oracle, "documents"))
         mapping = (
@@ -606,46 +610,91 @@ def test_dedup_groups_reps_slice_uses_derived_tag_cache(spark, sf_dir_oracle):
         )
         assert got == ref
     finally:
-        hit = td._COUNTED_CACHE.pop(rkey, None)
+        hit = tc._TRUNKS.pop(rkey, None)
         if hit is not None and saved is None:
             hit.unpersist()
         if saved is not None:
-            td._COUNTED_CACHE[rkey] = saved
+            tc._TRUNKS[rkey] = saved
 
 
 def test_clear_hooks_empty_every_trunk_cache(spark, sf_dir):
-    """The rewrite-boundary hooks must unpersist + empty their
-    registries: clear_counted_cache covers the counted-pairs AND
-    ppjoin-candidate trunks (plus the opt-in shingle/band frames),
-    clear_semantic_pairs_cache the SemDeDup pair trunk — and a
-    post-clear rebuild yields the same rows."""
-    import nemscraper_spark.queries.corpus_extra as ce
+    """THE rewrite-boundary hook (r11: ONE registry, one hook) must
+    unpersist + empty every trunk family at once — the r10 ADVICE
+    gap was per-module hooks leaving sibling caches alive — and a
+    post-clear rebuild yields the same rows.  The legacy per-module
+    hook names must reach the same aggregate clear.  Teardown clears
+    again so the test leaves the registry in a known-empty state
+    rather than pinning freshly built trunks for the session (r10
+    ADVICE)."""
+    import nemscraper_spark.queries.trunk_cache as tc
     import nemscraper_spark.queries.training_data as td
     from nemscraper_spark.queries import REGISTRY
 
-    # populate the ppjoin + semantic trunks for this sf_dir
-    pp_rows = sorted(
-        map(tuple, REGISTRY["jaccard_ppjoin_pairs"].fn(spark, sf_dir).collect())
-    )
-    sem_rows = sorted(
-        map(tuple, REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect())
-    )
-    app = spark.sparkContext.applicationId
-    assert (
-        app, str(sf_dir), td._PPJOIN_TP, td._PPJOIN_TQ
-    ) in td._PPJOIN_CAND_CACHE
-    assert (app, str(sf_dir)) in ce._SEM_PAIRS_CACHE
+    try:
+        # populate the ppjoin + semantic trunks for this sf_dir
+        pp_rows = sorted(
+            map(tuple, REGISTRY["jaccard_ppjoin_pairs"].fn(spark, sf_dir).collect())
+        )
+        sem_rows = sorted(
+            map(tuple, REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect())
+        )
+        app = spark.sparkContext.applicationId
+        nd = tc.norm_dir(sf_dir)
+        assert ("ppjoin_cand", app, nd, td._PPJOIN_TP, td._PPJOIN_TQ) in tc._TRUNKS
+        assert ("sem_pairs", app, nd) in tc._TRUNKS
 
-    td.clear_counted_cache()
-    ce.clear_semantic_pairs_cache()
-    assert not td._PPJOIN_CAND_CACHE
-    assert not td._COUNTED_CACHE
-    assert not ce._SEM_PAIRS_CACHE
+        # the LEGACY hook name reaches the aggregate clear: counted,
+        # ppjoin, dup-edges AND sem-pairs all drop in one call
+        td.clear_counted_cache()
+        assert not tc._TRUNKS
+        assert not td._SHINGLE_CACHE and not td._BANDS_CACHE
 
-    # rebuild after clear: identical rows (the hook never corrupts)
-    assert pp_rows == sorted(
-        map(tuple, REGISTRY["jaccard_ppjoin_pairs"].fn(spark, sf_dir).collect())
+        # rebuild after clear: identical rows (the hook never corrupts)
+        assert pp_rows == sorted(
+            map(tuple, REGISTRY["jaccard_ppjoin_pairs"].fn(spark, sf_dir).collect())
+        )
+        assert sem_rows == sorted(
+            map(tuple, REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect())
+        )
+    finally:
+        tc.clear_trunk_caches()
+        assert not tc._TRUNKS
+
+
+def test_failed_trunk_materialization_leaves_no_orphan(spark):
+    """r10 ADVICE: if the eager count() inside persist_trunk_adaptive
+    raises, the frame must be unpersisted before the error surfaces
+    (else an unreachable persisted plan is pinned for the session)
+    and trunk() must register nothing — plus the AQE conf is still
+    restored."""
+    import pytest
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    import nemscraper_spark.queries.trunk_cache as tc
+
+    name = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prev = spark.conf.get(name, None)
+    bad = spark.range(3).select(
+        F.assert_true(F.col("id") < 0).alias("x")  # fails at runtime
     )
-    assert sem_rows == sorted(
-        map(tuple, REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect())
-    )
+    key = (spark.sparkContext.applicationId, "__orphan_test__")
+    with pytest.raises(Exception):
+        tc.trunk("test_fail", key, lambda: bad)
+    assert ("test_fail", *key) not in tc._TRUNKS
+    # persist() returned the same frame; the except-path unpersisted it
+    assert bad.storageLevel == StorageLevel.NONE
+    assert spark.conf.get(name, None) == prev
+
+
+def test_norm_dir_canonicalizes_spellings(tmp_path):
+    """Two spellings of one directory form ONE cache key (r10
+    ADVICE): trailing slash, repeated separators, and dot segments
+    all collapse to the same canonical absolute path."""
+    from nemscraper_spark.queries.trunk_cache import norm_dir
+
+    base = str(tmp_path / "sf0.01")
+    assert norm_dir(base + "/") == norm_dir(base)
+    assert norm_dir(base + "//") == norm_dir(base)
+    assert norm_dir(str(tmp_path) + "/./sf0.01") == norm_dir(base)
+    assert norm_dir(str(tmp_path / "x" / ".." / "sf0.01")) == norm_dir(base)
