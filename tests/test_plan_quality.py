@@ -874,3 +874,22 @@ def test_equidepth_primary_boundaries_stay_mergeable(spark, sf_dir):
     assert "percentile(" not in p.replace("approx_percentile(", "")
     assert "Window" not in p
     assert "EvalPython" not in p
+
+def test_second_consumer_reads_persisted_trunk(spark, sf_dir):
+    """Cross-consumer trunk reuse must be visible in the PHYSICAL plan,
+    not just as registry object identity: once the first consumer
+    builds a trunk family's persisted frame, the second consumer's
+    plan contains an InMemoryTableScan over it (r11 consolidation —
+    one pin per family would re-run three heavy builds, so pin the
+    cheapest family, sem_pairs; the registry mechanics are identical
+    across families by construction, queries/trunk_cache.py)."""
+    import nemscraper_spark.queries.trunk_cache as tc
+    from nemscraper_spark.queries import REGISTRY
+
+    tc.clear_trunk_caches()
+    try:
+        REGISTRY["semantic_dedup_clusters"].fn(spark, sf_dir).collect()
+        second = REGISTRY["semantic_dedup_keep_list"].fn(spark, sf_dir)
+        assert "InMemoryTableScan" in plan(second)
+    finally:
+        tc.clear_trunk_caches()
