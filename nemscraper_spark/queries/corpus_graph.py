@@ -71,6 +71,34 @@ _TRI_SQL = f"""
 """
 
 
+def _dup_graph_edges(spark, sf_dir):
+    """The (doc_a, doc_b) verified near-dup edge list at the
+    production geometry (md5-LSH 16/4, Jaccard >= 0.2) — the graph
+    both dup_triangle_density and dup_graph_core_peel analyze.
+    Registered in the shared trunk registry (r11): previously
+    dup_triangle_density persisted a fresh unregistered copy per
+    CALL — repeated calls (the bench's 3 repeats) each pinned a new
+    frame no clear hook could release — and the two graph queries
+    rebuilt the same edge set independently.  The persist matters
+    because the downstream branches (two triangle joins + degree
+    aggregates / peel rounds) would each re-run the whole LSH
+    pipeline through Spark's lazy lineage.  (NOT localCheckpoint:
+    the RDD materialization path bypasses AQE — measured 5.8 s vs
+    2.4 s for the triangle pipeline; persist_trunk_adaptive lets AQE
+    size the cached plan, measured 4.1 s vs 2.0 s warm at 200 raw
+    partitions in a foreign driver session.)"""
+    from nemscraper_spark.queries.trunk_cache import norm_dir, trunk
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return trunk(
+        "dup_graph_edges",
+        (spark.sparkContext.applicationId, norm_dir(sf_dir)),
+        lambda: lsh_verified_pairs_md5(
+            d, threshold=0.2, n_perm=16, band_size=4
+        ).select("doc_a", "doc_b"),
+    )
+
+
 @register("dup_triangle_density", oracle=_TRI_SQL, tags=("dedup", "graph"))
 def dup_triangle_density(spark, sf_dir):
     """Topology of the near-duplicate graph: triangle count, wedge
@@ -88,25 +116,7 @@ def dup_triangle_density(spark, sf_dir):
     a cross product, and the edge set is the (sparse) verified dup
     pairs.  Wedges come from the degree aggregate: Σ d·(d−1)/2 over
     nodes.  All counts exact BIGINT; the coefficient is one division."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    # The downstream branches (two triangle joins + the degree
-    # aggregate) would each re-run the whole LSH pipeline through
-    # Spark's lazy lineage — persist the (sparse) edge list so it is
-    # computed once. (NOT localCheckpoint: the RDD materialization
-    # path bypasses AQE — measured 5.8 s vs 2.4 s for this pipeline.)
-    # n_edges falls out of the degree sum (Σd = 2|E|), saving one
-    # more branch. The persist goes through persist_trunk_adaptive so
-    # AQE sizes the cached plan (measured 4.1 s vs 2.0 s warm at 200
-    # raw partitions in a foreign driver session) WITHOUT leaving the
-    # canChangeCachedPlanOutputPartitioning conf flipped
-    # session-globally — the same round-9 ADVICE fix as the
-    # counted-pairs trunk.
-    from nemscraper_spark.queries.trunk_cache import persist_trunk_adaptive
-
-    edges = persist_trunk_adaptive(
-        lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
-        .select("doc_a", "doc_b")
-    )
+    edges = _dup_graph_edges(spark, sf_dir)
     e2 = edges.select(
         F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_c")
     )
@@ -503,7 +513,6 @@ def dup_graph_core_peel(spark, sf_dir):
     count() + distinct().count() jobs: 7 jobs total per invocation
     (3 eager checkpoints + 4 fused counts) vs the 12 the round-6
     bench measured at 5.9 s."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
 
     def _ckpt_id(df):
         # the RDD a localCheckpoint persists (components.py pattern);
@@ -530,11 +539,13 @@ def dup_graph_core_peel(spark, sf_dir):
         )
         return int(row["e"]), int(row["n"])
 
-    cur = (
-        lsh_verified_pairs_md5(d, threshold=0.2, n_perm=16, band_size=4)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # Round-0 edges come from the shared dup_graph_edges trunk (r11:
+    # one persisted edge set serves both graph queries in a session)
+    # and are STILL localCheckpoint'ed: the persist caches the data,
+    # but each peel round's logical plan re-embeds its source ~4^r
+    # times (see docstring) — only lineage severance keeps Catalyst
+    # alive at round 3.
+    cur = _dup_graph_edges(spark, sf_dir).localCheckpoint(eager=True)
     ckpt_ids = [_ckpt_id(cur)]
     stats = []
     for r in (0, 1, 2, 3):

@@ -40,7 +40,16 @@ def test_core_peel_action_fusion_pinned(spark, sf_dir, monkeypatch):
     verdict's one perf_weak).  Raw Spark job counts are NOT a usable
     pin here: AQE submits one job per stage materialization (observed
     33 for this query), so we count the API calls that define the
-    action structure instead."""
+    action structure instead.
+
+    The shared dup_graph_edges trunk (r11) is pre-warmed OUTSIDE the
+    patch window: a cold trunk build issues its own eager
+    materialization counts (its structure is persist_trunk_adaptive's
+    contract, tested in test_training_ops), and this pin is about the
+    PEEL's steady-state action structure."""
+    from nemscraper_spark.queries.corpus_graph import _dup_graph_edges
+
+    _dup_graph_edges(spark, sf_dir)
     # Spark 4: pyspark.sql.DataFrame is the abstract facade; the
     # running session instantiates the CLASSIC concrete class, which
     # overrides these methods — patch the class the calls dispatch to
