@@ -645,9 +645,17 @@ def test_clear_hooks_empty_every_trunk_cache(spark, sf_dir):
 
         # the LEGACY hook name reaches the aggregate clear: counted,
         # ppjoin, dup-edges AND sem-pairs all drop in one call
+        # warm an ANN grid entry too: the aggregate hook covers it
+        # (same corpus-staleness hazard, previously no hook at all)
+        import nemscraper_spark.queries.ann_twins as at
+
+        at._int_grid(spark, sf_dir)
+        assert at._GRID_CACHE
+
         td.clear_counted_cache()
         assert not tc._TRUNKS
         assert not td._SHINGLE_CACHE and not td._BANDS_CACHE
+        assert not at._GRID_CACHE and not at._SAMPLE_CACHE
 
         # rebuild after clear: identical rows (the hook never corrupts)
         assert pp_rows == sorted(
