@@ -91,35 +91,50 @@ def simhash_near_dup_pairs(spark, sf_dir):
     high because the docs genuinely are similar (shared small
     vocabulary) — cost the oracle pays identically. The verify is one
     codegen'd bit_count per candidate.
-    """
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    )
-    # hoist one md5 per word; 60 integer bit-tests over 15 hex digits
-    digit = (
-        "(ascii(substr(h, {p}, 1)) -"
-        " CASE WHEN ascii(substr(h, {p}, 1)) >= 97 THEN 87 ELSE 48 END)"
-    )
-    hashed = words.withColumn("h", F.md5("w")).select(
-        "doc_id",
-        *[F.expr(digit.format(p=p)).alias(f"d{p}") for p in range(1, 16)],
-    )
 
-    def bit_vote(k: int):
-        p, j = k // 4 + 1, k % 4
-        return F.sum(
-            F.when(F.expr(f"shiftright(d{p}, {j}) % 2 = 1"), 1).otherwise(-1)
-        ).alias(f"s{k}")
+    The fingerprint itself is an Arrow kernel (mapInPandas), not the
+    former explode → 60-aggregate chain (r11 optimization, guide
+    §4.2): the 60 conditional SUMs plus the 60-term reassembly
+    generated a fresh multi-thousand-line janino compile per
+    invocation and needed a (doc_id) exchange for the vote aggregate,
+    while the kernel computes each doc's votes locally in one pass —
+    integer arithmetic only, so the fingerprints are bit-identical
+    (pinned by the unchanged oracle), and one whole shuffle drops out
+    of the plan at every scale.  Null texts are filtered exactly as
+    the old explode dropped them."""
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
-    votes = hashed.groupBy("doc_id").agg(*[bit_vote(k) for k in range(60)])
-    simhash = None
-    for k in range(60):
-        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        simhash = term if simhash is None else simhash + term
-    sim = votes.select("doc_id", simhash.alias("simhash"))
+    def fp(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            out = np.zeros(n, dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                votes = np.zeros(60, dtype=np.int64)
+                for w in set(text.split(" ")):
+                    h = hashlib.md5(w.encode()).hexdigest()
+                    for p in range(15):
+                        dig = int(h[p], 16)
+                        for j in range(4):
+                            votes[p * 4 + j] += 1 if (dig >> j) & 1 else -1
+                sh = 0
+                for k in range(60):
+                    if votes[k] > 0:
+                        sh |= 1 << k
+                out[i] = sh
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "simhash": out}
+            )
+
+    sim = d.filter(F.col("text").isNotNull()).mapInPandas(
+        fp, schema="doc_id long, simhash long"
+    )
     bands = sim.select(
         "doc_id",
         "simhash",

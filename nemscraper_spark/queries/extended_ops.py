@@ -276,8 +276,18 @@ def sketch_error_bounds(spark, sf_dir):
     now enforced by the driver every round.  Plan: one scan, one
     partial-aggregated groupBy carrying both the sketch state and the
     exact state — the A/B a profiling pipeline runs once to certify
-    sketches before trusting them at 100 TB."""
-    ev = load_table(spark, sf_dir, "events")
+    sketches before trusting them at 100 TB.
+
+    The scan is projected to the three consumed columns and fan_out:
+    the plan's first stage carries the count_distinct Expand plus BOTH
+    percentile buffers, and the single-row-group local file would run
+    it in one task (guide §2.5 — the guard makes this a no-op on a
+    real cluster's already-split input)."""
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id", "value"
+        )
+    )
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
         F.count_distinct("user_id").alias("exact_users"),
@@ -1000,8 +1010,22 @@ def column_stats_profile(spark, sf_dir):
     equivalent and deliberately avoid.  Numeric min/max surface as
     DOUBLE and string min/max as VARCHAR so the schema is uniform
     without cross-engine number-to-string formatting (which is not
-    portable)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    portable).
+
+    The three profiled columns are projected and fan_out BEFORE the
+    aggregate: the multi-distinct rewrite plans as Expand(x4) -> Sort
+    -> SortAggregate, and the local testdata arrives as one
+    single-row-group parquet file, so without the spread that whole
+    first stage (2.4M expanded rows, sorted) runs in ONE task (guide
+    §2.5 input skew: repartition straight after an unsplittable
+    input).  fan_out is partition-count-guarded — on a real cluster
+    the scan already has >= parallelism splits and no extra exchange
+    is introduced."""
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+    )
     agg = li.agg(
         F.count("*").alias("n"),
         F.count("l_orderkey").alias("c_ok"),
