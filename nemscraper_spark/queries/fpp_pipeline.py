@@ -102,7 +102,16 @@ def reference_trajectory(spark, sf_dir):
     """Steps 2's dataflow: spine ⨯ units, prev/next forecast join,
     linear interpolation (crunch.rs:324-452)."""
     ev = load_table(spark, sf_dir, "events")
-    fc = _forecast(spark, sf_dir).cache()  # crunch.rs:347 .cache() reuse
+    # crunch.rs:347 caches the forecast frame for its prev/next reuse;
+    # the r11 A/B (clean-min 1.42 s vs 1.61 s at sf0.1) showed the
+    # per-invocation .cache() here buys nothing — both references sit
+    # in ONE plan, so Spark shares the post-aggregate exchange — while
+    # every invocation leaked a CacheManager entry that was never
+    # unpersisted (each entry is consulted during the PLANNING of every
+    # later query in the session).  A production deployment with a
+    # multi-year forecast table materializes it as a table once, not as
+    # an in-session cache per query.
+    fc = _forecast(spark, sf_dir)
     grid = _spine(spark).crossJoin(
         F.broadcast(ev.select("user_id").distinct())
     ).withColumn("ts_5m", time_bucket("ts", 300))

@@ -1507,18 +1507,23 @@ def ann_ivf_cosine(spark, sf_dir):
     set shrinks by ~nprobe/k vs brute force, and k scales to 2^16 with
     the same plan shape.
     """
-    # Iterative refinement re-reads the corpus once per Lloyd round +
-    # once for the final assignment: persist the fanned-out projection
-    # so rounds 2..n and the assign pass skip the scan+exchange (the
-    # MLlib k-means pattern — norms/input cached across iterations; at
-    # 100TB this is MEMORY_AND_DISK on the executors, never the driver).
+    # Iterative refinement re-reads the corpus once per Lloyd round:
+    # persist the fanned-out projection so rounds 2..n skip the
+    # scan+exchange (the MLlib k-means pattern — norms/input cached
+    # across iterations; at 100TB this is MEMORY_AND_DISK on the
+    # executors, never the driver).  r11: the persist is RELEASED as
+    # soon as the iterations' collects are done — it used to live for
+    # the session (a fresh never-unpersisted CacheManager entry per
+    # invocation, each consulted during the planning of every later
+    # query); the returned plan's own two references re-read the cheap
+    # projection instead (guide §5: unpersist when done).
     from pyspark import StorageLevel
 
     e = (
         _emb_sized(spark, sf_dir)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e_pinned = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     k = 8
     dim = 64
@@ -1596,12 +1601,13 @@ def ann_ivf_cosine(spark, sf_dir):
 
     # seed: first k vectors (deterministic, no RNG)
     cents = sorted(
-        (r.vec_id, list(r.e)) for r in e.filter(F.col("vec_id") < k).collect()
+        (r.vec_id, list(r.e))
+        for r in e_pinned.filter(F.col("vec_id") < k).collect()
     )
     for _ in range(2):  # Lloyd iterations — tiny collect per round
         import numpy as np
 
-        parts = e.mapInPandas(
+        parts = e_pinned.mapInPandas(
             recenter_partials(cents), schema="cid long, n long, s array<double>"
         ).collect()
         cnt = np.zeros(k, dtype=np.int64)
@@ -1612,6 +1618,7 @@ def ann_ivf_cosine(spark, sf_dir):
         cents = sorted(
             (cid, list(sums[cid] / cnt[cid])) for cid in range(k) if cnt[cid] > 0
         )
+    e_pinned.unpersist()  # iterations done — no session-lifetime entry
 
     assigned = e.mapInPandas(
         assign(cents), schema="vec_id long, cid long, cid2 long, e array<double>"
@@ -2774,26 +2781,23 @@ def minhash_jaccard_estimate(spark, sf_dir):
     ).select("doc_id", F.col("s.i").alias("i"), F.col("s.sig").alias("sig"))
     a = su.select(F.col("doc_id").alias("doc_a"), "i", "sig")
     b = su.select(F.col("doc_id").alias("doc_b"), "i", "sig")
-    cand = (
+    # n_agree IS the collision count: su holds exactly one row per
+    # (doc, i), so the bucket join matches a pair at component i iff
+    # sig_i agrees, and grouping the join output counts the agreeing
+    # components directly.  This replaces the former distinct() +
+    # re-join of BOTH full signature frames (two more copies of the
+    # shingle-explode -> 8-way min-agg pipeline in the physical plan,
+    # since a broadcast build side cannot reuse the probe side's
+    # exchange) with the aggregate the join already pays for —
+    # clean-min 3.4 s -> 1.9 s at sf0.1, one pipeline copy and two
+    # joins fewer at every scale (r11, guide §2.4/§7.2).
+    agree = (
         a.join(b, ["i", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_agree"))
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)]
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(8)]
-    )
-    n_agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
-    ).cast("long")
-    agree = (
-        cand.join(sa, "doc_a").join(sb, "doc_b").select(
-            "doc_a", "doc_b", n_agree.alias("n_agree")
-        )
-    )
+    cand = agree.select("doc_a", "doc_b")
     # exact Jaccard ONLY for candidate pairs, in the equi-join COUNT
     # form (the shape that retired collect_set from the md5 trunk in
     # round 8): semi-join the inverted index down to candidate docs,
