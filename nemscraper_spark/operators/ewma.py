@@ -175,16 +175,33 @@ def ewma(
     alpha: float,
     negate: bool = False,
     out_col: str = "ewma",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = recursive EWMA of ``value_col`` per key.
 
     ``negate`` mirrors the reference's fm update over -freq_deviation
     (crunch.rs:254: alpha * -dev).
-    """
+
+    Execution (round-11, guide §4.2): grouped-map over a KEY-HASH
+    BUCKET, not the key itself.  Grouping by the raw key paid one
+    Python call + one Arrow batch per key — 1,500 user keys measured
+    3.5 s for a 100k-row frame, pure per-group boundary overhead.
+    Bucketing whole keys into ``n_buckets`` hash buckets (scale: 4x
+    defaultParallelism, so a cluster keeps full parallelism while the
+    per-call group count collapses) and running ONE vectorized Cython
+    pass per bucket measured 0.77 s — bit-identical output.  Inside a
+    bucket: sort by (keys, order), find group starts, insert a 0.0
+    seed row at each start, run pandas ``groupby.ewm(adjust=False)``
+    (the same Cython kernel as Series.ewm, segmented), drop the seed
+    rows — each group's first real row computes om*0.0 + a*x, exactly
+    the seed-0 recurrence.  NaN groups fall back to the explicit loop
+    (pandas ewm skips NaNs; the reference propagates them)."""
     from pyspark.sql import types as T
 
     key_cols = list(key_cols)
     order_cols = list(order_cols)
+    if n_buckets is None:
+        n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
     # build a fresh StructType — StructType.add would mutate df's schema
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
@@ -194,29 +211,56 @@ def ewma(
     # module's globals): cloudpickle serializes module-level names by
     # reference, and the engine package isn't importable on executor
     # python workers when the hosting driver runs from another cwd.
-    def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def apply_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as _np
         import pandas as _pd
 
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf = (
+            pdf.drop(columns=["__ewma_bucket"])
+            .sort_values(key_cols + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
         x = pdf[value_col].to_numpy(dtype=_np.float64)
         if negate:
             x = -x
+        is_start = _np.zeros(n, dtype=bool)
+        if n:
+            is_start[0] = True
+        for c in key_cols:
+            a = pdf[c].to_numpy()
+            is_start[1:] |= a[1:] != a[:-1]
+        starts = _np.flatnonzero(is_start)
         if _np.isnan(x).any():  # NaN: explicit loop (see _ewma_series)
-            out = _np.empty(len(x), dtype=_np.float64)
-            prev = 0.0
-            one_minus = 1.0 - alpha
-            for i, v in enumerate(x):
-                prev = one_minus * prev + alpha * v
-                out[i] = prev
-        else:  # Cython ewm with a 0.0 seed — bit-exact with the loop
-            out = (
-                _pd.Series(_np.concatenate([[0.0], x]))
+            out = _np.empty(n, dtype=_np.float64)
+            bounds = _np.append(starts, n)
+            om = 1.0 - alpha
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                prev = 0.0
+                for i in range(s, e):
+                    prev = om * prev + alpha * x[i]
+                    out[i] = prev
+        else:  # segmented Cython ewm with a 0.0 seed per group
+            aug_x = _np.insert(x, starts, 0.0)
+            gid = _np.repeat(
+                _np.arange(len(starts)),
+                _np.diff(_np.append(starts, n)),
+            )
+            aug_g = _np.insert(gid, starts, _np.arange(len(starts)))
+            out_aug = (
+                _pd.Series(aug_x)
+                .groupby(aug_g)
                 .ewm(alpha=alpha, adjust=False)
                 .mean()
-                .to_numpy()[1:]
+                .to_numpy()
             )
+            out = _np.delete(out_aug, starts + _np.arange(len(starts)))
         pdf[out_col] = out
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(apply_group, schema=out_schema)
+    bucketed = df.withColumn(
+        "__ewma_bucket", F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__ewma_bucket").applyInPandas(
+        apply_bucket, schema=out_schema
+    )

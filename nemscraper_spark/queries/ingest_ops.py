@@ -260,14 +260,23 @@ def nem_compaction_roundtrip(spark, sf_dir):
 
     ingest(spark, landing, out)
     ingest(spark, landing, out)  # second append → >1 file per partition
-    results = []
-    for key, d in _D_ROWS.items():
+
+    def _compact_and_count(item):
+        key, d = item
         root = os.path.join(out, key)
         compact_table(spark, root)
         files = _glob.glob(os.path.join(root, "date=*", "*.parquet"))
         # conservation from the compacted footers — the reference's
         # verify reads metadata, not data (verify.rs:56-133)
-        results.append((key, _parquet_rows(root), 2 * d, len(files)))
+        return (key, _parquet_rows(root), 2 * d, len(files))
+
+    # tables compact independently (disjoint roots) — overlap their
+    # job latencies from a driver thread pool, same as compact_table
+    # does across partitions
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(_D_ROWS))) as pool:
+        results = list(pool.map(_compact_and_count, sorted(_D_ROWS.items())))
     # all invariants are computed eagerly from footers/listings above
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

@@ -991,69 +991,41 @@ def dedup_incremental_delta(spark, sf_dir):
     production primary (16x4, 0.2); md5 seeding keeps the whole path
     hash-gated."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = _shingle_frame(d)
-    bands = _md5_bands_frame(sh, n_perm=16, band_size=4)
-    # The delta-membership filter is applied AFTER the band self-join,
-    # not before: both join inputs then have IDENTICAL lineage, so AQE
-    # reuses one exchange of the (expensive) 16-min-agg banding instead
-    # of computing it twice — measured 15.6 -> ~6 s at the 20x probe.
-    # A production deployment filters FIRST because its base bands are
-    # a persisted index (free to read); recomputing-and-reusing is the
-    # right plan only for this self-contained form.
-    new_b = bands.select(F.col("doc_id").alias("doc_new"), "band", "bucket")
-    all_b = bands.select(F.col("doc_id").alias("doc_matched"), "band", "bucket")
-    new_is_delta = F.col("doc_new") % 5 == 4
-    matched_is_delta = F.col("doc_matched") % 5 == 4
-    cand = (
-        new_b.join(all_b, ["band", "bucket"])
-        .filter(
-            new_is_delta
-            & (F.col("doc_matched") != F.col("doc_new"))
-            & (~matched_is_delta | (F.col("doc_matched") < F.col("doc_new")))
-        )
-        .select("doc_new", "doc_matched")
-        .distinct()
-    )
-    # Verify in the equi-join COUNT form (the same shape that retired
-    # collect_set from the md5 trunk in round 8): candidates joined
-    # back to the shingle table on equal shingle, groupBy-count
-    # n_common, Jaccard from per-doc shingle counts.  No per-doc
-    # shingle SET is ever materialized in an aggregation buffer — a
-    # pathological document costs bounded (doc, shingle) shuffle rows,
-    # not one executor-resident array.  The inner count join loses no
-    # candidate: a band-bucket collision means equal min-md5 within
-    # the band, so every pair shares its argmin shingle and
-    # n_common >= 1 (the oracle's inter CTE is the same inner join).
-    cand_docs = (
-        cand.select(F.col("doc_new").alias("doc_id"))
-        .union(cand.select(F.col("doc_matched").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
-    cnt = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sh_a = sh_cand.select(F.col("doc_id").alias("doc_new"), "shingle")
-    sh_b = sh_cand.select(F.col("doc_id").alias("doc_matched"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_new")
-        .join(sh_b, ["doc_matched", "shingle"])
-        .groupBy("doc_new", "doc_matched")
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("na"))
-    cb = cnt.select(
-        F.col("doc_id").alias("doc_matched"), F.col("n").alias("nb")
-    )
-    pairs = inter.join(ca, "doc_new").join(cb, "doc_matched")
+    # Round-11: derive the incremental answer from the SHARED counted
+    # trunk (lsh_counted_pairs_md5 at the production (16, 4) geometry)
+    # instead of rebuilding shingle→band→collide→count privately (the
+    # old form recomputed the shingle explode ~5x in one plan — a
+    # 2,069-line physical plan).  Equivalence: the trunk holds every
+    # DISTINCT unordered colliding pair (doc_a < doc_b, n_common >= 1)
+    # with per-doc shingle counts; the incremental candidate set is
+    # exactly the trunk pairs with >= 1 delta member — (x delta, y
+    # base) keeps (new, matched) = (x, y); (both delta) keeps
+    # (new, matched) = (max, min), which under doc_a < doc_b is
+    # (doc_b, doc_a).  So: doc_new = doc_b when doc_b is delta else
+    # doc_a (doc_a is delta in every remaining row).  n_common and
+    # Jaccard = n/(na+nb-n) are symmetric in (a, b), so remapping
+    # sides changes nothing.  Verified hash-exact vs the unchanged
+    # DuckDB oracle.  At scale the trunk IS the persisted band index a
+    # nightly deployment reads — O(delta + collisions) per ingest.
+    counted = lsh_counted_pairs_md5(d, n_perm=16, band_size=4)
+    a_delta = F.col("doc_a") % 5 == 4
+    b_delta = F.col("doc_b") % 5 == 4
+    doc_new = F.when(b_delta, F.col("doc_b")).otherwise(F.col("doc_a"))
+    doc_matched = F.when(b_delta, F.col("doc_a")).otherwise(F.col("doc_b"))
     n_common = F.col("n_common").cast("bigint")
     jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
-    return pairs.filter(jac >= 0.2).select(
-        "doc_new",
-        "doc_matched",
-        n_common.alias("n_common"),
-        jac.alias("jaccard"),
-        F.when(matched_is_delta, F.lit("delta"))
-        .otherwise(F.lit("base"))
-        .alias("kind"),
+    return (
+        counted.filter(a_delta | b_delta)
+        .filter(jac >= 0.2)
+        .select(
+            doc_new.alias("doc_new"),
+            doc_matched.alias("doc_matched"),
+            n_common.alias("n_common"),
+            jac.alias("jaccard"),
+            F.when(doc_matched % 5 == 4, F.lit("delta"))
+            .otherwise(F.lit("base"))
+            .alias("kind"),
+        )
     )
 
 

@@ -335,8 +335,7 @@ def ingest(
         # funneled each table's entire data through one task.)
         keys = [r[0] for r in discover_tables(blocks).collect()]
 
-        written: dict[str, int] = {}
-        for key in sorted(keys):
+        def _write_table(key: str) -> tuple[str, int]:
             # per-table bounded sample job (filter + CollectLimit on the
             # cached slice frame — no shuffle, early-exit after N rows)
             df = table_frame(parsed, key)
@@ -355,7 +354,20 @@ def ingest(
             ).parquet(path)
             # conservation count from the written footers (metadata
             # only — no extra scan job; verify.rs:56-133 semantics)
-            written[key] = _parquet_rows(path)
+            return key, _parquet_rows(path)
+
+        # Tables write to DISJOINT directories, so the per-table jobs
+        # are independent — submit them from a driver-side thread pool
+        # (the compact_table/rayon shape): each table's sample + write
+        # job is latency-bound on small batches, and on a cluster a
+        # serial loop would leave executors idle between tables.
+        if len(keys) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(keys))) as pool:
+                written = dict(pool.map(_write_table, sorted(keys)))
+        else:
+            written = dict(map(_write_table, keys))
         return written
     finally:
         blocks.unpersist()
