@@ -115,19 +115,32 @@ def reference_trajectory(spark, sf_dir):
     grid = _spine(spark).crossJoin(
         F.broadcast(ev.select("user_id").distinct())
     ).withColumn("ts_5m", time_bucket("ts", 300))
-    # fc scales with buckets × units — AQE picks broadcast when small
+    # fc scales with buckets × units — AQE picks broadcast when small.
+    # The NEXT-bucket shift lives in the JOIN CONDITION (exactly the
+    # oracle's `g.ts_5m + INTERVAL '5 minutes' = n.ts_5m`), NOT in a
+    # build-side projection: with identical build plans the two
+    # forecast references canonicalize equal and Spark REUSES one
+    # BroadcastExchange, so the forecast aggregate computes once per
+    # plan — the round-11 replacement for the leaky per-invocation
+    # .cache() this chain used through round 10 (the cacheless chain
+    # had regressed ~3x: every consumer re-ran the forecast twice).
     prev = fc.select(
         "ts_5m", F.col("user_id").alias("uid"), F.col("target_value").alias("prev_target")
     )
     nxt = fc.select(
-        (F.col("ts_5m") - F.expr("INTERVAL 5 MINUTES")).alias("ts_5m"),
+        F.col("ts_5m").alias("nxt_ts_5m"),
         F.col("user_id").alias("uid"),
         F.col("target_value").alias("next_target"),
     )
     joined = (
         grid.join(prev, (grid.ts_5m == prev.ts_5m) & (grid.user_id == prev.uid), "left")
         .drop(prev.ts_5m).drop("uid")
-        .join(nxt, (grid.ts_5m == nxt.ts_5m) & (grid.user_id == nxt.uid), "left")
+        .join(
+            nxt,
+            (grid.ts_5m + F.expr("INTERVAL 5 MINUTES") == nxt.nxt_ts_5m)
+            & (grid.user_id == nxt.uid),
+            "left",
+        )
     )
     prev_t = F.coalesce(F.col("prev_target"), F.lit(0.0))
     next_t = F.coalesce(F.col("next_target"), prev_t)
@@ -287,16 +300,22 @@ def fpp_interval_charge(spark, sf_dir):
     cf = ev.groupBy(time_bucket("ts", 300).alias("ts_5m"), cons).agg(
         (dec_avg("value") / 100.0).alias("contribution_factor")
     )
-    res_dcf = cf.filter(F.minute("ts_5m") % 10 == 0).select(
-        "ts_5m", "cons", (F.col("contribution_factor") / 2.0).alias("residual_dcf")
+    # res_dcf is cf's own rows at minute%10==0 with the SAME join key,
+    # and cf is unique per (ts_5m, cons) — so the sparse-DCF LEFT JOIN
+    # collapses into a conditional column on the single cf join
+    # (residual_dcf NULL exactly where the old join found no row).
+    # One broadcast build + one cf aggregate instead of two of each.
+    cfx = cf.withColumn(
+        "residual_dcf",
+        F.when(
+            F.minute("ts_5m") % 10 == 0, F.col("contribution_factor") / 2.0
+        ),
     )
     default_cf = F.lit(0.5) + F.col("cons") / 10.0
     used_dcf = F.coalesce(F.col("residual_dcf"), default_cf)
     perf_rate = F.lit(1.0) + F.col("cons")
     recovery_rate = F.lit(2.0) - F.col("cons") / 10.0
-    joined = res.join(cf, ["ts_5m", "cons"], "left").join(
-        res_dcf, ["ts_5m", "cons"], "left"
-    )
+    joined = res.join(cfx, ["ts_5m", "cons"], "left")
     return joined.groupBy("cons").agg(
         dec_sum(F.col("raise_residual") * used_dcf * perf_rate, 6).alias(
             "raise_charge"

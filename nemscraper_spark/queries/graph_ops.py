@@ -172,10 +172,20 @@ def pagerank_event_graph(spark, sf_dir):
         )
         .select("src", "dst", F.expr("_num div _den").cast("long").alias("p"))
     )
+    # Lineage cut (the dup_graph_core_peel pattern): edges is tiny
+    # (bounded by the type alphabet) but each LAZY reference re-ran
+    # the full events scan + lag-window + aggregate — the unrolled
+    # 3-iteration plan held 22 parquet scans / 70 exchanges.  ONE
+    # eager localCheckpoint materializes the heavy pipeline once;
+    # nodes derives from the checkpointed edges (every ecnt row
+    # survives into edges, so src∪dst is identical), and the
+    # iterations join scan-free bounded frames (1 scan total).
+    edges = edges.localCheckpoint()
     nodes = (
-        ecnt.select(F.col("src").alias("node"))
-        .union(ecnt.select(F.col("dst").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()  # bounded by the type alphabet
     base = ((_DAMP_DEN - _DAMP_NUM) * _R_SCALE) // _DAMP_DEN // n_nodes

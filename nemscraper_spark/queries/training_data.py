@@ -101,8 +101,23 @@ def ngram_jaccard_pairs(spark, sf_dir):
     actually collide. The join key is the 8-byte xxhash64 of the
     shingle, not the string: ~2x less shuffle (any-collision odds at
     2^18 distinct shingles ~1e-9, negligible next to float
-    tolerances)."""
+    tolerances).
+
+    The tiny pair output is a shared TRUNK (trunk_cache, family
+    "exact_pairs"): lsh_band_curve_report consumes the same frame as
+    its recall denominator, so the inverted-index join builds once
+    per (session, corpus) instead of once per consumer."""
+    from nemscraper_spark.queries.trunk_cache import norm_dir, trunk
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    return trunk(
+        "exact_pairs",
+        (spark.sparkContext.applicationId, norm_dir(sf_dir)),
+        lambda: _ngram_jaccard_pairs_build(d),
+    )
+
+
+def _ngram_jaccard_pairs_build(d):
     sh = _shingle_frame(d).select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
