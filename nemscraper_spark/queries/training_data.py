@@ -2784,6 +2784,14 @@ def minhash_jaccard_estimate(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_agree"))
     )
+    # Lineage cut (the pagerank/dup_graph pattern): agree is the TINY
+    # (pairs, n_agree) output of the heavy explode→min-agg→self-join
+    # pipeline, but the lazy exact-side consumers (cand_docs semi-join,
+    # inter, the final report join) each re-derived it — a 2,434-line
+    # physical plan whose driver-side analysis alone cost seconds per
+    # invocation.  One eager localCheckpoint runs the pipeline once;
+    # everything downstream reads the bounded pair frame.
+    agree = agree.localCheckpoint()
     cand = agree.select("doc_a", "doc_b")
     # exact Jaccard ONLY for candidate pairs, in the equi-join COUNT
     # form (the shape that retired collect_set from the md5 trunk in
