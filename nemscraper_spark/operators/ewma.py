@@ -229,7 +229,16 @@ def ewma(
             is_start[0] = True
         for c in key_cols:
             a = pdf[c].to_numpy()
-            is_start[1:] |= a[1:] != a[:-1]
+            neq = a[1:] != a[:-1]
+            if a.dtype.kind == "f":
+                # nullable numeric keys reach pandas as float64 NaN;
+                # NaN != NaN would split every null-key row into its
+                # own group, where Spark's groupBy (and the per-key
+                # reference path) put ALL null keys in ONE group with
+                # a running EWMA — treat adjacent NaNs as equal (the
+                # sort keeps them contiguous, na_position='last').
+                neq &= ~(_np.isnan(a[1:]) & _np.isnan(a[:-1]))
+            is_start[1:] |= neq
         starts = _np.flatnonzero(is_start)
         if _np.isnan(x).any():  # NaN: explicit loop (see _ewma_series)
             out = _np.empty(n, dtype=_np.float64)

@@ -499,20 +499,23 @@ def dup_graph_core_peel(spark, sf_dir):
     whole ITERATIVE loop behind the hash gate.
 
     Each round is one degree aggregate (map-side combinable) + two
-    semi joins on the (sparse) edge list.  Rounds 0-2's edges are
+    semi joins on the (sparse) edge list.  Rounds 1-2's edges are
     localCheckpoint'ed — the components.py iteration pattern: every
     round references the previous edge set THREE times (degree
     aggregate + both semi joins), so without severing lineage the
     logical plan grows ~4^r copies of the whole LSH pipeline and
     Catalyst itself OOMs (observed at round 3); with it, each round
-    plans against the materialized previous round only.  Round 3 is
-    NOT checkpointed — nothing downstream re-references it, so its
-    single fused count action computes it exactly once anyway.  Each
-    round's (n_edges, n_nodes) is ONE aggregate action over the
-    unioned endpoint list (count/2 + countDistinct), not separate
-    count() + distinct().count() jobs: 7 jobs total per invocation
-    (3 eager checkpoints + 4 fused counts) vs the 12 the round-6
-    bench measured at 5.9 s."""
+    plans against the materialized previous round only.  Round 0 is
+    the persisted dup_graph_edges trunk itself (NOT re-checkpointed —
+    r12: the r11 checkpoint-on-top-of-persist double-materialized the
+    edge set; InMemoryRelation substitution severs the plan just as
+    well).  Round 3 is NOT checkpointed — nothing downstream
+    re-references it, so its single fused count action computes it
+    exactly once anyway.  Each round's (n_edges, n_nodes) is ONE
+    aggregate action over the unioned endpoint list (count/2 +
+    countDistinct), not separate count() + distinct().count() jobs:
+    6 jobs total per invocation warm (2 eager checkpoints + 4 fused
+    counts) vs the 12 the round-6 bench measured at 5.9 s."""
 
     def _ckpt_id(df):
         # the RDD a localCheckpoint persists (components.py pattern);
@@ -539,14 +542,19 @@ def dup_graph_core_peel(spark, sf_dir):
         )
         return int(row["e"]), int(row["n"])
 
-    # Round-0 edges come from the shared dup_graph_edges trunk (r11:
-    # one persisted edge set serves both graph queries in a session)
-    # and are STILL localCheckpoint'ed: the persist caches the data,
-    # but each peel round's logical plan re-embeds its source ~4^r
-    # times (see docstring) — only lineage severance keeps Catalyst
-    # alive at round 3.
-    cur = _dup_graph_edges(spark, sf_dir).localCheckpoint(eager=True)
-    ckpt_ids = [_ckpt_id(cur)]
+    # Round-0 edges are the shared dup_graph_edges trunk read DIRECTLY
+    # (r12).  The r11 form stacked localCheckpoint(eager) on top of the
+    # trunk's persist — a SECOND full materialization of the edge set
+    # on the cold path and a fresh checkpoint copy on every warm
+    # invocation (driver-measured 1.93 -> 4.30 s).  The persisted trunk
+    # already gives the peel what that checkpoint gave it: CacheManager
+    # substitutes InMemoryRelation before the optimizer runs, so round
+    # 1's three references to `cur` each compile to an
+    # InMemoryTableScan, not three re-runs of the LSH pipeline — the
+    # 4^r lineage blowup only starts at round 1, and rounds 1-2 are
+    # still checkpointed below.
+    cur = _dup_graph_edges(spark, sf_dir)
+    ckpt_ids = []
     stats = []
     for r in (0, 1, 2, 3):
         if r > 0:
@@ -573,7 +581,9 @@ def dup_graph_core_peel(spark, sf_dir):
         stats.append((r, n_edges, n_nodes))
     # the result is a driver-built frame — nothing downstream reads the
     # checkpointed edge sets, so free ALL their blocks now (otherwise a
-    # long-lived session accumulates 4 edge-set copies per invocation)
+    # long-lived session accumulates 2 peel-round copies per
+    # invocation; the round-0 trunk persist is session-scoped and
+    # released by clear_trunk_caches, never here)
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in ckpt_ids:
         if rid is not None:

@@ -101,8 +101,26 @@ def simhash_near_dup_pairs(spark, sf_dir):
     integer arithmetic only, so the fingerprints are bit-identical
     (pinned by the unchanged oracle), and one whole shuffle drops out
     of the plan at every scale.  Null texts are filtered exactly as
-    the old explode dropped them."""
+    the old explode dropped them.
+
+    r12 (guide §4.2, "hand whole batches to vectorized native
+    libraries"): the r11 kernel looped per doc / per word / per hex
+    digit in Python and re-md5'd every occurrence of every word.  Now
+    each DISTINCT word in the task is hashed exactly once (memoized
+    dict across batches within the task), the 15-digit→60-vote unpack
+    is one numpy pass over all new digests, per-doc vote totals are a
+    single segmented ``np.add.reduceat`` over the gathered ±1 vote
+    matrix, and the fingerprint assembly is one matmul against the
+    bit-weight vector.  Votes are the same integer sums in a
+    different order — bit-identical fingerprints (oracle unchanged,
+    pinned by test_simhash_kernel_vectorized_bit_identical)."""
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _simhash_pairs_from(_simhash60_fingerprints(d))
+
+
+def _simhash60_fingerprints(d):
+    """60-bit SimHash fingerprints (doc_id, simhash) via the vectorized
+    Arrow kernel; ``d`` must carry (doc_id, text).  Null texts drop."""
 
     def fp(batches):
         import hashlib
@@ -110,31 +128,70 @@ def simhash_near_dup_pairs(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        vocab: dict = {}  # word -> row index in the vote matrix
+        parts: list = []  # growing list of (k, 60) int8 ±1 vote blocks
+        cache = {"B": None}  # concatenated matrix, rebuilt on growth
+        bit_w = np.left_shift(np.int64(1), np.arange(60, dtype=np.int64))
+
+        def register(words):
+            """Hash every not-yet-seen word once, vectorized."""
+            new = sorted(words.difference(vocab))
+            if not new:
+                return
+            dig = np.frombuffer(
+                b"".join(hashlib.md5(w.encode()).digest() for w in new),
+                dtype=np.uint8,
+            ).reshape(len(new), 16)
+            # hexdigest digit p = byte p//2, high nibble when p even
+            digits = np.empty((len(new), 15), dtype=np.uint8)
+            digits[:, 0::2] = dig[:, :8] >> 4
+            digits[:, 1::2] = dig[:, :7] & 15
+            bits = (digits[:, :, None] >> np.arange(4, dtype=np.uint8)) & 1
+            parts.append(
+                (bits.reshape(len(new), 60).astype(np.int8) << 1) - 1
+            )
+            base = len(vocab)
+            for k, w in enumerate(new):
+                vocab[w] = base + k
+            cache["B"] = None
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            out = np.zeros(n, dtype=np.int64)
-            for i, text in enumerate(pdf["text"]):
-                votes = np.zeros(60, dtype=np.int64)
-                for w in set(text.split(" ")):
-                    h = hashlib.md5(w.encode()).hexdigest()
-                    for p in range(15):
-                        dig = int(h[p], 16)
-                        for j in range(4):
-                            votes[p * 4 + j] += 1 if (dig >> j) & 1 else -1
-                sh = 0
-                for k in range(60):
-                    if votes[k] > 0:
-                        sh |= 1 << k
-                out[i] = sh
+            word_sets = [set(t.split(" ")) for t in pdf["text"]]
+            register(set().union(*word_sets))
+            if cache["B"] is None:
+                cache["B"] = (
+                    parts[0] if len(parts) == 1 else np.concatenate(parts)
+                )
+            counts = np.fromiter(
+                (len(s) for s in word_sets), dtype=np.int64, count=n
+            )
+            idx = np.fromiter(
+                (vocab[w] for s in word_sets for w in s),
+                dtype=np.int64,
+                count=int(counts.sum()),
+            )
+            bounds = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=bounds[1:])
+            # segmented per-doc vote sum (every doc has >= 1 distinct
+            # word — ''.split(' ') is [''] — so bounds strictly increase)
+            votes = np.add.reduceat(
+                cache["B"][idx].astype(np.int32), bounds, axis=0
+            )
+            out = (votes > 0).astype(np.int64) @ bit_w
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "simhash": out}
             )
 
-    sim = d.filter(F.col("text").isNotNull()).mapInPandas(
+    return d.filter(F.col("text").isNotNull()).mapInPandas(
         fp, schema="doc_id long, simhash long"
     )
+
+
+def _simhash_pairs_from(sim):
+    """Band-join + hamming verify over (doc_id, simhash) fingerprints."""
     bands = sim.select(
         "doc_id",
         "simhash",

@@ -1541,7 +1541,20 @@ def kmv_audience_overlap(spark, sf_dir):
     tests); the pair stage touches only k-row sketches (broadcast).
     At 100 TB: one linear scan + fixed-size state per set, the same
     contract as hll/cms, plus the intersection algebra neither
-    provides."""
+    provides.
+
+    r12 (guide §2.4 share the work / §3.3 materialise to truncate the
+    plan): the lazy form re-embedded the scan→distinct subtree under
+    EVERY downstream reference — 24 parquet scans of orders, each
+    redoing the distinct, for a report whose working set past `h` is
+    a 3x128-row sketch.  Now `h` (the distinct (set, hash) table —
+    the one unavoidable pass) is eagerly localCheckpoint'ed once, and
+    the k-minima sketch on top of it again (it is k rows per set, and
+    5 branches reference it), so the whole pair/union/intersection
+    algebra runs over two in-memory frames: ONE scan of orders total.
+    Same rows, same estimates — the checkpoint only severs lineage —
+    and at 100 TB the checkpointed `h` is the PREFILTERED form above
+    (O(k) rows per set), not the raw audience."""
     o = fan_out(load_table(spark, sf_dir, "orders"))
     h = (
         o.select(
@@ -1551,8 +1564,9 @@ def kmv_audience_overlap(spark, sf_dir):
             ).alias("hx"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    kmv = _kmv_sketch(h, "st")
+    kmv = _kmv_sketch(h, "st").localCheckpoint(eager=True)
     scale = F.lit(_KMV_SCALE)
     hx_int = lambda c: F.conv(c, 16, 10).cast("double")  # noqa: E731
     sk = kmv.groupBy("st").agg(

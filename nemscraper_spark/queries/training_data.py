@@ -2813,7 +2813,14 @@ def minhash_jaccard_estimate(spark, sf_dir):
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    # Second lineage cut (r12, same pattern): the exact side references
+    # sh_cand THREE times (cnt, pa, pb) and each lazily re-derived the
+    # scan → shingle-explode → semi-join pipeline — 6 of the plan's 8
+    # remaining parquet scans.  One eager localCheckpoint materializes
+    # the candidate-restricted inverted index once; its size is bounded
+    # by candidate density (the same working set the exact computation
+    # must touch anyway), so the store is safe at scale.
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi").localCheckpoint()
     cnt = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     pa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
     pb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -32,9 +32,11 @@ def test_ckpt_id_resolves_on_checkpointed_frame(spark):
 
 def test_core_peel_action_fusion_pinned(spark, sf_dir, monkeypatch):
     """Pin the round-7 action fusion structurally: the peel issues
-    EXACTLY 3 eager localCheckpoints (rounds 0-2; the terminal round
-    is counted once and never reused, so checkpointing it is pure
-    waste) and EXACTLY 4 driver-side stat actions (one fused
+    EXACTLY 2 eager localCheckpoints (rounds 1-2; round 0 reads the
+    persisted dup_graph_edges trunk directly — the r12 fix for the
+    r11 checkpoint-on-top-of-persist double materialization — and the
+    terminal round is counted once and never reused, so checkpointing
+    either is pure waste) and EXACTLY 4 driver-side stat actions (one fused
     count/countDistinct .first() per round — the round-6 form ran
     separate count() + distinct().count() jobs per round, the
     verdict's one perf_weak).  Raw Spark job counts are NOT a usable
@@ -78,7 +80,7 @@ def test_core_peel_action_fusion_pinned(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(DataFrame, "first", first)
     monkeypatch.setattr(DataFrame, "count", count)
     REGISTRY["dup_graph_core_peel"].fn(spark, sf_dir)
-    assert calls["ckpt"] == 3, f"expected 3 localCheckpoints, saw {calls['ckpt']}"
+    assert calls["ckpt"] == 2, f"expected 2 localCheckpoints, saw {calls['ckpt']}"
     assert calls["first"] == 4, f"expected 4 fused stat actions, saw {calls['first']}"
     assert calls["count"] == 0, (
         "peel should not issue separate count() actions — the per-round "

@@ -39,6 +39,43 @@ def test_xxhash_lsh_library_default_recall(spark, sf_dir):
         assert recall >= 0.5, f"xxhash LSH recall collapsed: {recall:.2f}"
 
 
+def test_simhash_kernel_vectorized_bit_identical(spark, sf_dir):
+    """The r12 vectorized SimHash kernel (distinct-word memo, numpy
+    digest unpack, segmented reduceat vote sum) must produce
+    BIT-IDENTICAL fingerprints to the r11 per-doc/per-word/per-digit
+    Python loop — the votes are the same integer sums in a different
+    order, so any drift is a kernel bug, not FP noise."""
+    import hashlib
+
+    from nemscraper_spark.queries.common import load_table
+    from nemscraper_spark.queries.corpus_health import _simhash60_fingerprints
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
+    got = {r.doc_id: r.simhash for r in _simhash60_fingerprints(d).collect()}
+    texts = {
+        r.doc_id: r.text for r in d.filter("text is not null").collect()
+    }
+    assert set(got) == set(texts) and texts
+
+    for doc_id, text in texts.items():
+        votes = [0] * 60
+        for w in set(text.split(" ")):
+            h = hashlib.md5(w.encode()).hexdigest()
+            for p in range(15):
+                dig = int(h[p], 16)
+                for j in range(4):
+                    votes[p * 4 + j] += 1 if (dig >> j) & 1 else -1
+        sh = 0
+        for k in range(60):
+            if votes[k] > 0:
+                sh |= 1 << k
+        assert got[doc_id] == sh, f"fingerprint drift at doc {doc_id}"
+
+
 def _topk(df):
     out = {}
     for r in df.collect():
