@@ -134,7 +134,21 @@ def test_fpp_pipeline_join_strategies(spark, sf_dir):
     post-agg side fits (same policy as joins.py's forecast join)."""
     df = REGISTRY["fpp_performance"].fn(spark, sf_dir)
     p = plan(df)
-    assert p.count("BroadcastNestedLoopJoin") <= 2  # spine x units grids
+    # r12: the trajectory is served from the shared trunk, so the one
+    # sanctioned spine x units cross join lives INSIDE the cached
+    # build's InMemoryRelation printout (which shows the build's final
+    # + initial AQE plans — hence up to 2 tree occurrences, executed
+    # once per session), never at consumer level: every tree
+    # BroadcastNestedLoopJoin line must sit strictly deeper than the
+    # InMemoryRelation line.
+    tree = p.split("\n\n")[0].splitlines()
+    bnlj = [l for l in tree if "BroadcastNestedLoopJoin" in l]
+    rel = [l for l in tree if "InMemoryRelation" in l]
+    assert rel, "fpp_performance no longer reads the trajectory trunk"
+    rel_depth = rel[0].index("InMemoryRelation")
+    assert len(bnlj) <= 2  # spine x units grid, final + initial printout
+    for line in bnlj:
+        assert line.index("BroadcastNestedLoopJoin") > rel_depth, line
     # every remaining join is an equi join on its key
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     # the fm side must not be hint-pinned: the analyzed plan carries a
